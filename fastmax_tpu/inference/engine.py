@@ -1,0 +1,153 @@
+"""KV-cached autoregressive inference engine.
+
+TPU-native re-design of the reference decode loop (generate/base.py:50-93):
+one prefill call over the prompt followed by per-token decode. Differences
+from the reference, driven by XLA's compilation model:
+
+* The whole decode loop runs **on device** inside a single jit as a
+  ``lax.while_loop`` — no host<->device round trip per token (the reference
+  syncs every token for the eos check, generate/base.py:87-92).
+* The KV cache is a donated pytree argument, so XLA updates it in place.
+* Sampling uses the Gumbel-max trick with an explicit PRNG key.
+* For the linear-attention algorithms (fastmax/linearmax/performer) decode
+  keeps an O(1) running state (sum of v, k (x) v, ...) instead of re-reading
+  the dense KV cache every step — the natural TPU decode mode for linear
+  attention (the reference instead ran the unmasked formula over the full
+  padded cache, model.py:463-487).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models.config import Config
+from ..models import gpt
+from ..ops.rope import build_rope_cache
+from ..ops.sampling import sample
+
+
+class InferenceEngine:
+    """Holds config + jitted prefill/decode for a fixed (batch, max_seq)."""
+
+    def __init__(
+        self,
+        cfg: Config,
+        params: dict,
+        *,
+        max_seq_length: Optional[int] = None,
+        batch_size: int = 1,
+        cache_dtype=None,
+    ):
+        self.cfg = cfg
+        self.params = params
+        self.max_seq_length = min(max_seq_length or cfg.block_size, cfg.block_size)
+        self.batch_size = batch_size
+        param_dtype = jax.tree.leaves(params)[0].dtype
+        self.cache_dtype = cache_dtype or param_dtype
+        self.rope_cache = build_rope_cache(
+            self.max_seq_length, cfg.rope_n_elem, cfg.rope_base, cfg.rope_condense_ratio
+        )
+        self._prefill = jax.jit(self._prefill_impl, donate_argnums=(2,))
+        # max_new is traced (the token buffer is statically sized to
+        # max_seq_length), so changing the generation budget does NOT
+        # recompile — only temperature-mode/top_k changes do.
+        self._decode_loop = jax.jit(
+            self._decode_loop_impl,
+            static_argnames=("temperature", "top_k"),
+            donate_argnums=(1,),
+        )
+
+    def new_cache(self) -> dict:
+        return gpt.init_kv_cache(self.cfg, self.batch_size, self.max_seq_length, self.cache_dtype)
+
+    # ------------------------------------------------------------------ steps
+
+    def _prefill_impl(self, params, tokens, cache, input_pos):
+        logits, cache = gpt.forward(
+            params, self.cfg, tokens,
+            input_pos=input_pos, kv_cache=cache, rope_cache=self.rope_cache,
+        )
+        return logits[:, -1, :], cache
+
+    def _decode_loop_impl(
+        self, params, cache, first_token, prompt_len, key, max_new,
+        *, temperature: float, top_k, eos_id,
+    ):
+        """Decode until eos or the token budget, entirely on device."""
+        b = first_token.shape[0]
+        tokens = jnp.zeros((b, self.max_seq_length), jnp.int32)
+        tokens = tokens.at[:, 0].set(first_token)
+
+        def cond(carry):
+            i, _, _, _, done = carry
+            return (i < max_new - 1) & ~done
+
+        def body(carry):
+            i, cache, tokens, key, done = carry
+            pos = prompt_len + i
+            cur = jax.lax.dynamic_slice(tokens, (0, i), (b, 1))
+            logits, cache = gpt.forward(
+                params, self.cfg, cur,
+                input_pos=pos, kv_cache=cache, rope_cache=self.rope_cache,
+            )
+            key, sub = jax.random.split(key)
+            nxt = sample(logits[:, -1, :], sub, temperature, top_k)
+            tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, i + 1))
+            done = jnp.any(nxt == eos_id) if eos_id is not None else jnp.asarray(False)
+            return i + 1, cache, tokens, key, done
+
+        n, cache, tokens, _, _ = jax.lax.while_loop(
+            cond, body, (jnp.asarray(0), cache, tokens, key, jnp.asarray(False))
+        )
+        return tokens, n + 1, cache
+
+    # --------------------------------------------------------------- generate
+
+    def generate(
+        self,
+        prompt: jnp.ndarray,
+        max_returned_tokens: int,
+        *,
+        temperature: float = 1.0,
+        top_k: Optional[int] = None,
+        eos_id: Optional[int] = None,
+        key: Optional[jax.Array] = None,
+    ) -> jnp.ndarray:
+        """Generate tokens; mirrors generate/base.py:50-93.
+
+        prompt: (T,) or (B, T) int tokens. Returns (B, n) generated sequence
+        including the prompt, truncated at eos.
+        """
+        if prompt.ndim == 1:
+            prompt = prompt[None]
+        b, t = prompt.shape
+        assert b == self.batch_size
+        if max_returned_tokens > self.max_seq_length:
+            raise ValueError(
+                f"max_returned_tokens {max_returned_tokens} > max_seq_length {self.max_seq_length}"
+            )
+        key = key if key is not None else jax.random.PRNGKey(int(time.time_ns()) % (2**31))
+        cache = self.new_cache()
+        logits, cache = self._prefill(self.params, prompt.astype(jnp.int32), cache, 0)
+        key, sub = jax.random.split(key)
+        first = sample(logits, sub, temperature, top_k)
+
+        max_new = max_returned_tokens - t
+        gen_tokens, n, _ = self._decode_loop(
+            self.params, cache, first, t, key, max_new,
+            temperature=temperature, top_k=top_k, eos_id=eos_id,
+        )
+        n = int(n)
+        out = jnp.concatenate([prompt, gen_tokens[:, :n]], axis=1)
+        if eos_id is not None:
+            # truncate batch-1 output at the eos token (ref behavior)
+            arr = jax.device_get(out[0])
+            hits = (arr[t:] == eos_id).nonzero()[0]
+            if hits.size:
+                out = out[:, : t + int(hits[0]) + 1]
+        return out

