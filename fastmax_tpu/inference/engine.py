@@ -47,7 +47,9 @@ class InferenceEngine:
         self.params = params
         self.max_seq_length = min(max_seq_length or cfg.block_size, cfg.block_size)
         self.batch_size = batch_size
-        param_dtype = jax.tree.leaves(params)[0].dtype
+        # activations follow the embedding table's dtype (quantized models
+        # keep f32 scale leaves, so "first leaf" would be wrong)
+        param_dtype = params["wte"].dtype
         self.cache_dtype = cache_dtype or param_dtype
         self.rope_cache = build_rope_cache(
             self.max_seq_length, cfg.rope_n_elem, cfg.rope_base, cfg.rope_condense_ratio

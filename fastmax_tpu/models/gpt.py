@@ -240,7 +240,16 @@ def apply_attn(
         mask=mask,
         is_decode=kv_cache is not None,
     )
+    if "adapter" in p and cfg.attn_alg == "quadratic":
+        # LLaMA-Adapter prefix attention (models/adapter.py); the reference
+        # likewise only applies it on the SDPA path (adapter.py:119-149)
+        from .adapter import apply_adapter_attention
+
+        y = y + apply_adapter_attention(p["adapter"], p["attn"], q, cfg, hs ** -0.5)
     y = y.transpose(0, 2, 1, 3).reshape(b, t, hs * cfg.n_head)
+    # attention math may run in a wider dtype (f32 cache/softmax); keep the
+    # residual stream in the activation dtype
+    y = y.astype(x.dtype)
     return linear(p["proj"], y), new_cache
 
 
@@ -273,6 +282,7 @@ def forward(
     kv_cache: Optional[dict] = None,
     rope_cache: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     max_seq_length: Optional[int] = None,
+    remat: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[dict]]:
     """Run the model.
 
@@ -324,6 +334,11 @@ def forward(
             y, _ = apply_block(bp, carry, cfg, cos, sin, mask, None, None)
             return y, None
 
+        if remat:
+            # per-block rematerialization: the backward pass recomputes each
+            # block's activations (the activation_checkpointing_policy={Block}
+            # equivalent, ref finetune/lora.py:88-91)
+            body = jax.checkpoint(body)
         x, _ = jax.lax.scan(body, x, params["blocks"])
         new_cache = None
 

@@ -24,9 +24,21 @@ def linear(p: dict, x: jnp.ndarray) -> jnp.ndarray:
         y = quant.quantized_matmul(x, p)
     else:
         raise KeyError(f"linear params missing weight: keys={list(p)}")
+    if "lora_A" in p:
+        # LoRA residual: ((x @ A) @ B) * (alpha/r), optionally output-masked
+        # for the fused-QKV per-projection enable flags (models/lora.py)
+        delta = jnp.einsum("...i,ir->...r", x, p["lora_A"].astype(x.dtype))
+        delta = jnp.einsum("...r,ro->...o", delta, p["lora_B"].astype(x.dtype))
+        delta = delta * p["lora_scale"].astype(x.dtype)
+        if "lora_mask" in p:
+            delta = delta * p["lora_mask"].astype(x.dtype)
+        y = y + delta
     bias = p.get("bias")
     if bias is not None:
         y = y + bias.astype(y.dtype)
+    if "adapter_scale" in p:
+        # Adapter-v2 elementwise wrapper: scale * y + bias (models/adapter.py)
+        y = y * p["adapter_scale"].astype(y.dtype) + p["adapter_bias"].astype(y.dtype)
     return y
 
 

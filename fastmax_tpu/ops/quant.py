@@ -183,8 +183,20 @@ def quantize_int8(kernel: np.ndarray) -> dict:
 
 
 def quantized_matmul(x: jnp.ndarray, p: dict) -> jnp.ndarray:
-    """x @ dequant(kernel). XLA fuses the dequant into the matmul; the Pallas
-    fused kernel replaces this on bandwidth-bound decode shapes."""
+    """x @ dequant(kernel).
+
+    On TPU, 4-bit linears with tile-aligned shapes route to the Pallas fused
+    dequant+matmul kernel (ops/quant_pallas.py) — packed bytes stream
+    straight to VMEM instead of a dequantized copy round-tripping HBM.
+    Everything else takes the XLA dequant->matmul path.
+    """
+    if "q4" in p and jax.default_backend() == "tpu":
+        from .quant_pallas import pallas_eligible, quantized_matmul_pallas
+
+        k_in = p["q4"].shape[0] * 2
+        k_out = p["q4"].shape[1]
+        if pallas_eligible(p, k_in, k_out):
+            return quantized_matmul_pallas(x, p)
     kernel = dequantize(p, x.dtype)
     return jnp.einsum("...i,io->...o", x, kernel)
 

@@ -1,0 +1,144 @@
+"""Mesh construction and parameter sharding rules (pjit/GSPMD).
+
+This single module replaces four reference subsystems (SURVEY.md §2.7):
+generate/tp.py's hook-based tensor parallelism, generate/sequentially.py's
+layer streaming, Lightning's FSDPStrategy, and the XLAFSDP path — all become
+NamedSharding annotations on one mesh; XLA's SPMD partitioner inserts the
+all-gathers/psums that the reference wrote by hand (tp.py:73-74).
+
+Mesh axes:
+  data   pure data parallelism (gradient psum only)
+  fsdp   parameter sharding (ZeRO-3): params sharded here, all-gathered
+         per-layer by GSPMD; batch is also split over this axis
+  model  tensor parallelism (megatron): QKV/fc colwise, proj rowwise
+
+Rules mirror the reference TP layout (generate/tp.py:48-74): attention QKV
+and MLP up-projections shard output features; attn.proj / mlp.proj shard
+input features (their outputs are partial sums -> GSPMD inserts the
+reduce). The fused QKV shards along query groups, so `n_query_groups` must
+be divisible by the model-axis size (the reference divides n_head/config
+the same way, tp.py:82-90). MoE experts shard their leading expert axis on
+the model axis (expert parallelism; the reference instead TP-sliced every
+expert, tp.py:58-62).
+
+All specs account for the leading (n_layer,) stack axis of the scan layout.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.config import Config
+
+DATA_AXIS = "data"
+FSDP_AXIS = "fsdp"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    data: int = 1, fsdp: int = 1, model: int = 1, devices=None
+) -> Mesh:
+    """Build a (data, fsdp, model) mesh over the available devices."""
+    devices = devices if devices is not None else jax.devices()
+    n = data * fsdp * model
+    if n > len(devices):
+        raise ValueError(f"mesh needs {n} devices, have {len(devices)}")
+    arr = np.asarray(devices[:n]).reshape(data, fsdp, model)
+    return Mesh(arr, (DATA_AXIS, FSDP_AXIS, MODEL_AXIS))
+
+
+def _fsdp_dim(spec: tuple, shape: tuple, fsdp_on: bool, divisor: int) -> tuple:
+    """Add the fsdp axis to the largest still-unsharded, divisible dim."""
+    if not fsdp_on:
+        return spec
+    best, best_size = None, 0
+    for i, (s, dim) in enumerate(zip(spec, shape)):
+        if s is None and dim % divisor == 0 and dim > best_size:
+            best, best_size = i, dim
+    if best is None:
+        return spec
+    out = list(spec)
+    out[best] = FSDP_AXIS
+    return tuple(out)
+
+
+def param_specs(cfg: Config, params: dict, *, tp: bool = True, fsdp_size: int = 1) -> dict:
+    """PartitionSpec pytree matching ``params``.
+
+    tp=False gives pure FSDP/replicated layouts. fsdp_size > 1 additionally
+    shards every tensor's largest free dim over the fsdp axis.
+    """
+    fsdp_on = fsdp_size > 1
+
+    def leaf_spec(path: tuple, leaf) -> P:
+        shape = leaf.shape
+        name = path[-1]
+        col = MODEL_AXIS if tp else None  # output-feature sharding
+        row = MODEL_AXIS if tp else None  # input-feature sharding
+        spec = [None] * len(shape)
+
+        def tagged(*tags):
+            s = list(tags)
+            return tuple(s + [None] * (len(shape) - len(s)))
+
+        if path[0] == "blocks":
+            # leading axis is n_layer (and experts add another)
+            if "experts" in path:
+                # (L, E, in, out): expert parallelism over the model axis
+                spec = [None, col] + [None] * (len(shape) - 2)
+            elif path[-2] == "attn" and name in ("kernel", "bias", "q4", "q8", "absmax"):
+                # fused QKV: shard output features (last dim)
+                spec = [None] * (len(shape) - 1) + [col]
+            elif path[-2] == "proj" and name in ("kernel", "q4", "q8"):
+                # rowwise: shard input features (dim 1 after the layer axis)
+                spec = [None, row] + [None] * (len(shape) - 2)
+            elif path[-2] == "proj" and name == "absmax":
+                # (L, in/block, out) blocks follow the input axis
+                spec = [None, row] + [None] * (len(shape) - 2)
+            elif path[-2] in ("fc", "fc_1", "fc_2") and name in ("kernel", "bias", "q4", "q8", "absmax"):
+                spec = [None] * (len(shape) - 1) + [col]
+            elif path[-2] == "gate":
+                spec = [None] * len(shape)
+            # norms and other biases stay replicated (tiny)
+        elif path[0] == "lm_head" and name in ("kernel", "q4", "q8"):
+            spec = [None] * (len(shape) - 1) + [col]
+        elif path[0] == "wte":
+            # shard the vocab dim over model when TP (row-parallel embedding)
+            spec = [None] * len(shape)
+
+        spec = _fsdp_dim(tuple(spec), shape, fsdp_on, fsdp_size)
+        return P(*spec)
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            return {k: walk(v, path + (k,)) for k, v in node.items()}
+        return leaf_spec(path, node)
+
+    return {k: walk(v, (k,)) for k, v in params.items()}
+
+
+def shard_params(params: dict, mesh: Mesh, specs: dict) -> dict:
+    """device_put the pytree with NamedShardings from ``specs``."""
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )
+
+
+def kv_cache_specs(cfg: Config, *, tp: bool = True) -> dict:
+    """Cache (L, B, G, S, hs): batch over data+fsdp, groups over model.
+
+    MQA (G == 1) cannot shard groups — the cache is replicated over model
+    (the reference hits the same constraint and keeps a single KV head,
+    model.py:408-416).
+    """
+    group_axis = MODEL_AXIS if (tp and cfg.n_query_groups > 1) else None
+    spec = P(None, (DATA_AXIS, FSDP_AXIS), group_axis, None, None)
+    return {"k": spec, "v": spec}
+
+
+def batch_spec() -> P:
+    return P((DATA_AXIS, FSDP_AXIS))

@@ -1,0 +1,190 @@
+"""Finetuning recipe: full / lora / adapter / adapter_v2 (+ quantized base).
+
+One CLI covering the reference's four finetune scripts (finetune/full.py,
+lora.py, adapter.py, adapter_v2.py — SURVEY.md §2.5), including QLoRA:
+``--quantize bnb.nf4 --method lora`` quantizes the base weights and trains
+only the LoRA deltas, the reference's finetune/lora.py:38-177 flow.
+
+Saves method-appropriate checkpoints: full state for --method full,
+delta-only (lora_filter / adapter_filter role) otherwise.
+
+Example:
+  python -m fastmax_tpu.training.finetune --method lora \\
+      --checkpoint_dir checkpoints/tiny --data_path data/alpaca/train.pt \\
+      --quantize bnb.nf4 --attn_alg fastmax --train.max_iters 100
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.config import Config
+from ..models import adapter as adapter_mod
+from ..models import gpt, lora as lora_mod
+from ..utils.args import EvalArgs, IOArgs, TrainArgs
+from ..utils.loss import cross_entropy
+from ..utils.logging import choose_logger
+from .fit import TrainState, build_optimizer, fit
+
+METHODS = ("full", "lora", "adapter", "adapter_v2")
+
+
+def sft_loss_fn(cfg: Config, remat: bool = True):
+    def loss_fn(params, batch):
+        inputs, labels = batch
+        logits, _ = gpt.forward(params, cfg, inputs, remat=remat)
+        # next-token: logits[:, :-1] predict labels[:, 1:] (prompt tokens
+        # carry ignore_index from the prepare scripts)
+        return cross_entropy(logits[:, :-1], labels[:, 1:])
+
+    return loss_fn
+
+
+def setup(
+    method: str = "lora",
+    checkpoint_dir: Optional[Path] = None,
+    model_name: Optional[str] = None,
+    data_path: Optional[Path] = None,
+    quantize: Optional[str] = None,
+    attn_alg: Optional[str] = None,
+    precision: str = "float32",
+    logger_name: str = "csv",
+    seed: int = 1337,
+    lora_r: int = 8,
+    lora_alpha: float = 16.0,
+    lora_query: bool = True,
+    lora_key: bool = False,
+    lora_value: bool = True,
+    lora_projection: bool = False,
+    lora_mlp: bool = False,
+    lora_head: bool = False,
+    adapter_prompt_length: int = 10,
+    adapter_start_layer: int = 2,
+    train: TrainArgs = TrainArgs(
+        global_batch_size=8, micro_batch_size=2, max_iters=100, learning_rate=3e-4,
+        save_interval=1000, log_interval=10, max_seq_length=512,
+    ),
+    eval: EvalArgs = EvalArgs(interval=100, max_iters=20),
+    io: IOArgs = IOArgs(),
+) -> None:
+    if method not in METHODS:
+        raise ValueError(f"method {method!r} not in {METHODS}")
+    dtype = getattr(jnp, precision)
+
+    # ---- base model
+    if checkpoint_dir is not None:
+        from ..utils.checkpoint import load_model_params
+
+        kw = {"attn_alg": attn_alg} if attn_alg else {}
+        cfg = Config.from_checkpoint(Path(checkpoint_dir), **kw)
+        _, params = load_model_params(Path(checkpoint_dir), cfg, dtype)
+    else:
+        cfg = Config.from_name(model_name, **({"attn_alg": attn_alg} if attn_alg else {}))
+        params = gpt.init_params(cfg, jax.random.PRNGKey(seed), dtype)
+
+    if quantize:
+        from ..ops.quant import quantize_model
+
+        params = quantize_model(params, quantize)
+
+    # ---- attach PEFT parameters + trainable mask
+    key = jax.random.PRNGKey(seed + 1)
+    if method == "lora":
+        lcfg = lora_mod.LoRAConfig(
+            r=lora_r, alpha=lora_alpha, query=lora_query, key=lora_key,
+            value=lora_value, projection=lora_projection, mlp=lora_mlp, head=lora_head,
+        )
+        params = lora_mod.add_lora_params(params, cfg, lcfg, key, dtype)
+        trainable = lora_mod.trainable_mask(params)
+    elif method in ("adapter", "adapter_v2"):
+        acfg = adapter_mod.AdapterConfig(adapter_prompt_length, adapter_start_layer)
+        params = adapter_mod.add_adapter_params(
+            params, cfg, acfg, key, dtype, v2=method == "adapter_v2"
+        )
+        trainable = adapter_mod.trainable_mask(params, v2=method == "adapter_v2")
+    else:
+        if quantize:
+            raise ValueError("full finetuning of quantized weights is not supported")
+        trainable = None
+
+    n_all = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    if trainable is not None:
+        n_train = sum(
+            int(np.prod(p.shape))
+            for p, m in zip(jax.tree.leaves(params), jax.tree.leaves(trainable))
+            if m
+        )
+    else:
+        n_train = n_all
+    print(f"{method}: {n_train/1e6:.2f}M trainable of {n_all/1e6:.1f}M")
+
+    # ---- data
+    from ..data.lm_datasets import SFTDataset
+
+    ds = SFTDataset.load(Path(data_path), seed)
+    train_iter = ds.batches(train.micro_batch_size, train.max_seq_length)
+
+    out_dir = Path(io.out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    logger = choose_logger(logger_name, out_dir)
+
+    optimizer = build_optimizer(train, trainable)
+    state = TrainState(params, optimizer.init(params))
+
+    def checkpoint_fn(s: TrainState) -> None:
+        from ..models.params import params_to_flat
+        from ..utils.checkpoint import save_flat_checkpoint
+
+        if method == "full":
+            flat = params_to_flat(s.params, cfg)
+        else:
+            _, delta = lora_mod.split_lora_state(s.params) if method == "lora" else (None, None)
+            if method != "lora":
+                # adapter deltas: filter flat names
+                flat_all = _flat_with_extras(s.params, cfg)
+                flat = {
+                    k: v for k, v in flat_all.items()
+                    if adapter_mod.adapter_filter_flat(k, v2=method == "adapter_v2")
+                }
+            else:
+                flat = _flatten_delta(delta)
+        save_flat_checkpoint(flat, out_dir / f"{method}_weights.safetensors")
+
+    state = fit(
+        cfg, state, optimizer, train_iter,
+        train=train, eval_args=eval, val_iter_fn=None, logger=logger, out_dir=out_dir,
+        loss_fn=sft_loss_fn(cfg), checkpoint_fn=checkpoint_fn,
+    )
+    logger.finalize()
+    print(f"finetune done at step {state.step}; weights in {out_dir}")
+
+
+def _flatten_delta(tree: dict, prefix: str = "") -> dict:
+    flat = {}
+    for k, v in tree.items():
+        name = f"{prefix}.{k}" if prefix else k
+        if isinstance(v, dict):
+            flat.update(_flatten_delta(v, name))
+        else:
+            flat[name] = np.asarray(v)
+    return flat
+
+
+def _flat_with_extras(params: dict, cfg: Config) -> dict:
+    """Flatten including non-lit extras (adapter leaves) by raw path names."""
+    return _flatten_delta(params)
+
+
+def main() -> None:
+    from ..utils.cli import CLI
+
+    CLI(setup)
+
+
+if __name__ == "__main__":
+    main()

@@ -57,22 +57,29 @@ def _add_param(parser, name: str, ann, default):
 def CLI(fn, args=None):
     """Parse CLI flags from ``fn``'s signature and invoke it."""
     sig = inspect.signature(fn)
+    try:
+        fn_hints = typing.get_type_hints(fn)
+    except Exception:
+        fn_hints = {}
     parser = argparse.ArgumentParser(description=fn.__doc__, prog=fn.__name__)
     dataclass_params = {}
     for name, p in sig.parameters.items():
-        ann = p.annotation
+        ann = fn_hints.get(name, p.annotation)
         if dataclasses.is_dataclass(ann) or (
             p.default is not inspect.Parameter.empty and dataclasses.is_dataclass(type(p.default))
         ):
             dc_type = ann if dataclasses.is_dataclass(ann) else type(p.default)
             dataclass_params[name] = (dc_type, p.default)
+            # field annotations may be strings under `from __future__ import
+            # annotations` — resolve them to real types
+            hints = typing.get_type_hints(dc_type)
             for f in dataclasses.fields(dc_type):
                 fdef = (
                     getattr(p.default, f.name)
                     if p.default is not inspect.Parameter.empty
                     else (f.default if f.default is not dataclasses.MISSING else inspect.Parameter.empty)
                 )
-                _add_param(parser, f"{name}.{f.name}", f.type, fdef)
+                _add_param(parser, f"{name}.{f.name}", hints.get(f.name, f.type), fdef)
         else:
             _add_param(parser, name, ann, p.default)
 
