@@ -1,0 +1,228 @@
+"""Evaluation harness.
+
+Two layers (parity: /root/reference/eval/lm_eval_harness.py:23-193):
+
+1. ``FastmaxLM`` — a model adapter exposing the EleutherAI lm-eval contract
+   (loglikelihood over (context, continuation) pairs, greedy generation,
+   batched full-context forwards). When the ``lm_eval`` package is
+   installed, ``run_eval_harness`` registers it and runs the reference's
+   default task set (arc_challenge, piqa, hellaswag, mmlu —
+   eval/lm_eval_harness.py:141).
+2. Self-contained evaluators that need no external package: token-level
+   perplexity over a text file, and multiple-choice accuracy over local
+   JSON tasks — the accuracy gate used to compare fp16 vs quantized models
+   (the BASELINE "lm-eval acc delta" axis) in network-restricted
+   environments.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from pathlib import Path
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.config import Config
+from ..models import gpt
+from ..models.tokenizer import Tokenizer
+
+
+class FastmaxLM:
+    """Loglikelihood/generation adapter over the functional model."""
+
+    def __init__(self, cfg: Config, params, tokenizer: Tokenizer,
+                 max_seq_length: Optional[int] = None, batch_size: int = 1):
+        self.cfg = cfg
+        self.params = params
+        self.tokenizer = tokenizer
+        self.max_seq_length = min(max_seq_length or cfg.block_size, cfg.block_size)
+        self.batch_size = batch_size
+
+        @jax.jit
+        def fwd(params, idx):
+            logits, _ = gpt.forward(params, cfg, idx)
+            return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+
+        self._fwd = fwd
+
+    # -- lm-eval style interface ------------------------------------------
+
+    @property
+    def eot_token_id(self):
+        return self.tokenizer.eos_id
+
+    def tok_encode(self, string: str) -> List[int]:
+        return self.tokenizer.encode(string, bos=False, eos=False).tolist()
+
+    def tok_decode(self, tokens: Sequence[int]) -> str:
+        return self.tokenizer.decode(np.asarray(tokens))
+
+    def loglikelihood_tokens(self, context: List[int], continuation: List[int]) -> Tuple[float, bool]:
+        """(sum logprob of continuation, is_greedy). Pads to a fixed bucket
+        so XLA compiles a handful of shapes."""
+        tokens = (context + continuation)[-self.max_seq_length :]
+        n_ctx = len(tokens) - len(continuation)
+        # bucket to multiples of 64
+        bucket = min(self.max_seq_length, ((len(tokens) + 63) // 64) * 64)
+        pad = bucket - len(tokens)
+        idx = np.asarray(tokens + [0] * pad, np.int64)[None]
+        logp = self._fwd(self.params, jnp.asarray(idx, jnp.int32))[0]
+        total = 0.0
+        greedy = True
+        for i, tok in enumerate(continuation):
+            pos = n_ctx + i - 1  # logits at pos predict token pos+1
+            total += float(logp[pos, tok])
+            greedy &= int(jnp.argmax(logp[pos])) == tok
+        return total, greedy
+
+    def loglikelihood(self, requests: List[Tuple[str, str]]) -> List[Tuple[float, bool]]:
+        out = []
+        for context, continuation in requests:
+            ctx = self.tok_encode(context) or [self.eot_token_id]
+            cont = self.tok_encode(continuation)
+            out.append(self.loglikelihood_tokens(ctx, cont))
+        return out
+
+    def greedy_until(self, prompt: str, max_new_tokens: int = 64, stop: Sequence[str] = ()) -> str:
+        from ..inference.engine import InferenceEngine
+
+        enc = self.tokenizer.encode(prompt)[-self.max_seq_length + max_new_tokens :]
+        engine = InferenceEngine(self.cfg, self.params,
+                                 max_seq_length=self.max_seq_length, batch_size=1)
+        out = engine.generate(jnp.asarray(enc), len(enc) + max_new_tokens,
+                              temperature=0.0, eos_id=self.tokenizer.eos_id)
+        text = self.tokenizer.decode(np.asarray(out[0, len(enc):]))
+        for s in stop:
+            if s in text:
+                text = text.split(s)[0]
+        return text
+
+
+# --------------------------------------------------------- local evaluators
+
+
+def perplexity_on_tokens(lm: FastmaxLM, tokens: np.ndarray, stride: int = 512) -> float:
+    """Sliding-window token perplexity over a long token stream."""
+    total_nll, total_count = 0.0, 0
+    n = len(tokens)
+    for start in range(0, max(n - 1, 1), stride):
+        window = tokens[start : start + stride + 1]
+        if len(window) < 2:
+            break
+        idx = jnp.asarray(np.asarray(window[:-1])[None], jnp.int32)
+        logp = lm._fwd(lm.params, idx)[0]
+        tgt = np.asarray(window[1:])
+        total_nll += -float(jnp.sum(logp[np.arange(len(tgt)), tgt]))
+        total_count += len(tgt)
+    return math.exp(total_nll / max(total_count, 1))
+
+
+def multiple_choice_accuracy(lm: FastmaxLM, task_file: Path) -> dict:
+    """Accuracy over a local JSON task: a list of
+    {"query": str, "choices": [str, ...], "gold": int} records (the
+    arc/piqa/hellaswag record shape)."""
+    with open(task_file, encoding="utf-8") as fp:
+        records = json.load(fp)
+    correct = correct_norm = 0
+    for rec in records:
+        scores = []
+        for choice in rec["choices"]:
+            ll, _ = lm.loglikelihood([(rec["query"], " " + choice)])[0]
+            scores.append((ll, ll / max(len(choice), 1)))
+        pred = int(np.argmax([s[0] for s in scores]))
+        pred_norm = int(np.argmax([s[1] for s in scores]))
+        correct += pred == rec["gold"]
+        correct_norm += pred_norm == rec["gold"]
+    n = len(records)
+    return {"acc": correct / n, "acc_norm": correct_norm / n, "n": n}
+
+
+# --------------------------------------------------------------- lm-eval
+
+
+def run_eval_harness(
+    checkpoint_dir: Path,
+    tasks: Optional[str] = None,
+    quantize: Optional[str] = None,
+    attn_alg: Optional[str] = None,
+    precision: str = "float32",
+    num_fewshot: int = 0,
+    limit: Optional[int] = None,
+    save_filepath: Optional[Path] = None,
+    local_task_file: Optional[Path] = None,
+    ppl_text_file: Optional[Path] = None,
+) -> dict:
+    """Evaluate a checkpoint. Uses the EleutherAI harness when installed;
+    --local_task_file / --ppl_text_file run the built-in evaluators."""
+    from ..inference.generate import load_and_prepare
+
+    cfg, params = load_and_prepare(
+        Path(checkpoint_dir), quantize=quantize, attn_alg=attn_alg, precision=precision
+    )
+    tokenizer = Tokenizer(Path(checkpoint_dir))
+    lm = FastmaxLM(cfg, params, tokenizer)
+
+    results: dict = {"model": cfg.name, "quantize": quantize}
+    if local_task_file:
+        results["local_task"] = multiple_choice_accuracy(lm, Path(local_task_file))
+    if ppl_text_file:
+        text = Path(ppl_text_file).read_text(encoding="utf-8")
+        toks = tokenizer.encode(text)
+        results["perplexity"] = perplexity_on_tokens(lm, toks)
+    if tasks:
+        try:
+            import lm_eval  # noqa: F401
+        except ImportError:
+            raise ImportError(
+                "the lm_eval package is not installed; use --local_task_file / "
+                "--ppl_text_file for the built-in evaluators"
+            )
+        results["harness"] = _run_lm_eval(lm, tasks.split(","), num_fewshot, limit)
+
+    if save_filepath:
+        Path(save_filepath).write_text(json.dumps(results, indent=2))
+    print(json.dumps(results, indent=2))
+    return results
+
+
+def _run_lm_eval(lm: FastmaxLM, tasks: List[str], num_fewshot: int, limit):
+    import lm_eval
+    from lm_eval.api.model import LM
+
+    class _Wrapper(LM):
+        def loglikelihood(self, requests):
+            return lm.loglikelihood([req.args for req in requests])
+
+        def loglikelihood_rolling(self, requests):
+            out = []
+            for req in requests:
+                (text,) = req.args
+                toks = lm.tok_encode(text)
+                ll, _ = lm.loglikelihood_tokens([lm.eot_token_id], toks)
+                out.append((ll,))
+            return out
+
+        def generate_until(self, requests):
+            out = []
+            for req in requests:
+                context, gen_kwargs = req.args
+                out.append(lm.greedy_until(context, stop=gen_kwargs.get("until", [])))
+            return out
+
+    return lm_eval.simple_evaluate(
+        model=_Wrapper(), tasks=tasks, num_fewshot=num_fewshot, limit=limit
+    )["results"]
+
+
+def main() -> None:
+    from ..utils.cli import CLI
+
+    CLI(run_eval_harness)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,197 @@
+"""Continuous batching engine.
+
+A capability the reference lacks (its decode loop is batch-1,
+generate/base.py:50-93) and BASELINE.json asks for: a slotted KV cache
+where sequences enter and leave the running batch independently.
+
+Design (static shapes throughout, the XLA discipline):
+* ``n_slots`` sequences share one cache (L, n_slots, G, S, hs);
+* per-slot position and active-flag vectors drive a single jitted
+  ``decode step`` that advances every active slot one token (inactive slots
+  compute garbage that is masked out — compute is uniform, control flow is
+  data);
+* prefill runs per-request on a bucketed-length jit and its KV rows are
+  written into the slot;
+* the host-side scheduler (``ContinuousBatcher``) admits queued requests
+  into free slots between steps and retires finished ones — the role a
+  serving frontend plays around the device step.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.config import Config
+from ..models import gpt
+from ..ops.rope import build_rope_cache
+from ..ops.sampling import sample
+
+
+@dataclass
+class Request:
+    request_id: int
+    prompt: np.ndarray
+    max_new_tokens: int
+    temperature: float = 0.0
+    top_k: Optional[int] = None
+    eos_id: Optional[int] = None
+    generated: List[int] = field(default_factory=list)
+    done: bool = False
+
+
+class ContinuousBatcher:
+    def __init__(
+        self,
+        cfg: Config,
+        params,
+        *,
+        n_slots: int = 4,
+        max_seq_length: Optional[int] = None,
+        prefill_bucket: int = 128,
+    ):
+        self.cfg = cfg
+        self.params = params
+        self.n_slots = n_slots
+        self.max_seq_length = min(max_seq_length or cfg.block_size, cfg.block_size)
+        self.prefill_bucket = prefill_bucket
+        self.rope = build_rope_cache(
+            self.max_seq_length, cfg.rope_n_elem, cfg.rope_base, cfg.rope_condense_ratio
+        )
+        dtype = params["wte"].dtype
+        self.cache = gpt.init_kv_cache(cfg, n_slots, self.max_seq_length, dtype)
+        self.positions = np.zeros(n_slots, np.int32)  # next write position
+        self.slots: List[Optional[Request]] = [None] * n_slots
+        self.queue: List[Request] = []
+        self._next_id = 0
+        self._key = jax.random.PRNGKey(0)
+
+        # single-sequence prefill over a bucketed length; returns last logits
+        # and the new KV rows for the slot
+        def prefill(params, tokens, n_valid, cache_k_row, cache_v_row):
+            # tokens (1, Tb) padded; run as an independent batch-1 model pass
+            row_cache = {"k": cache_k_row, "v": cache_v_row}
+            logits, row_cache = gpt.forward(
+                params, cfg, tokens, input_pos=0, kv_cache=row_cache, rope_cache=self.rope
+            )
+            last = jnp.take_along_axis(
+                logits, (n_valid - 1)[None, None, None].astype(jnp.int32), axis=1
+            )[:, 0]
+            return last, row_cache["k"], row_cache["v"]
+
+        # NOTE: no donation here — an identity slice (n_slots == 1) can alias
+        # the whole cache, and donating it would delete the live cache
+        self._prefill = jax.jit(prefill)
+
+        def step(params, cache, tokens, positions, active, key, temperature, top_k_kth):
+            logits, cache = gpt.forward(
+                params, cfg, tokens[:, None], input_pos=positions,
+                kv_cache=cache, rope_cache=self.rope,
+            )
+            logits = logits[:, -1, :].astype(jnp.float32)
+            greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            gumbel = -jnp.log(-jnp.log(jax.random.uniform(key, logits.shape) + 1e-20) + 1e-20)
+            sampled = jnp.argmax(
+                jnp.where(logits < top_k_kth[:, None], -jnp.inf, logits)
+                / jnp.maximum(temperature[:, None], 1e-6) + gumbel,
+                axis=-1,
+            ).astype(jnp.int32)
+            nxt = jnp.where(temperature > 0, sampled, greedy)
+            return nxt, cache
+
+        self._step = jax.jit(step, donate_argnums=(1,))
+
+    # ------------------------------------------------------------- requests
+
+    def submit(self, prompt: np.ndarray, max_new_tokens: int, *,
+               temperature: float = 0.0, top_k: Optional[int] = None,
+               eos_id: Optional[int] = None) -> int:
+        req = Request(self._next_id, np.asarray(prompt, np.int32), max_new_tokens,
+                      temperature, top_k, eos_id)
+        self._next_id += 1
+        self.queue.append(req)
+        return req.request_id
+
+    def _admit(self) -> None:
+        for slot in range(self.n_slots):
+            if self.slots[slot] is None and self.queue:
+                req = self.queue.pop(0)
+                t = len(req.prompt)
+                bucket = min(
+                    self.max_seq_length,
+                    ((t + self.prefill_bucket - 1) // self.prefill_bucket) * self.prefill_bucket,
+                )
+                padded = np.zeros(bucket, np.int32)
+                padded[:t] = req.prompt[:bucket]
+                k_row = self.cache["k"][:, slot : slot + 1]
+                v_row = self.cache["v"][:, slot : slot + 1]
+                last, k_row, v_row = self._prefill(
+                    self.params, jnp.asarray(padded)[None], jnp.asarray(t), k_row, v_row
+                )
+                self.cache["k"] = self.cache["k"].at[:, slot : slot + 1].set(k_row)
+                self.cache["v"] = self.cache["v"].at[:, slot : slot + 1].set(v_row)
+                self._key, sub = jax.random.split(self._key)
+                first = int(sample(last[0], sub, req.temperature, req.top_k))
+                req.generated.append(first)
+                self.positions[slot] = t
+                self.slots[slot] = req
+                self._maybe_finish(slot, first)
+
+    def _maybe_finish(self, slot: int, token: int) -> None:
+        req = self.slots[slot]
+        if req is None:
+            return
+        if (req.eos_id is not None and token == req.eos_id) or len(
+            req.generated
+        ) >= req.max_new_tokens or self.positions[slot] + 1 >= self.max_seq_length:
+            req.done = True
+            self.slots[slot] = None
+
+    def step(self) -> Dict[int, int]:
+        """Advance every active slot one token; returns {request_id: token}."""
+        self._admit()
+        active = np.asarray([s is not None for s in self.slots])
+        if not active.any():
+            return {}
+        tokens = np.zeros(self.n_slots, np.int32)
+        temps = np.zeros(self.n_slots, np.float32)
+        kth = np.full(self.n_slots, -np.inf, np.float32)
+        for i, req in enumerate(self.slots):
+            if req is not None:
+                tokens[i] = req.generated[-1]
+                temps[i] = req.temperature
+        self._key, sub = jax.random.split(self._key)
+        nxt, self.cache = self._step(
+            self.params, self.cache, jnp.asarray(tokens),
+            jnp.asarray(self.positions), jnp.asarray(active), sub,
+            jnp.asarray(temps), jnp.asarray(kth),
+        )
+        nxt = np.asarray(nxt)
+        out: Dict[int, int] = {}
+        for i, req in enumerate(self.slots):
+            if req is None:
+                continue
+            self.positions[i] += 1
+            tok = int(nxt[i])
+            req.generated.append(tok)
+            out[req.request_id] = tok
+            self._maybe_finish(i, tok)
+        return out
+
+    def run_to_completion(self, max_steps: int = 100_000) -> Dict[int, List[int]]:
+        """Drain queue + slots; returns {request_id: generated tokens}."""
+        results: Dict[int, List[int]] = {}
+        tracked: List[Request] = list(self.queue)
+        tracked += [s for s in self.slots if s is not None]
+        for _ in range(max_steps):
+            if not self.queue and all(s is None for s in self.slots):
+                break
+            self.step()
+        for req in tracked:
+            results[req.request_id] = req.generated
+        return results

@@ -1,0 +1,151 @@
+"""Generation CLI — the reference's generate/ script family in one tool
+(generate/base.py, full.py, lora.py, adapter.py, adapter_v2.py; the role of
+generate/tp.py and sequentially.py is covered by --tp/--fsdp mesh flags,
+SURVEY.md §2.4/§2.7).
+
+  python -m fastmax_tpu.inference.generate --checkpoint_dir ckpt \\
+      --prompt "Hello, my name is" --quantize bnb.nf4 --attn_alg fastmax
+
+Finetuned variants: --finetuned_path points at a delta checkpoint saved by
+training/finetune.py (LoRA deltas are merged before decode, the
+generate/lora.py:42,91 flow); --prompt_style alpaca|flan wraps the prompt.
+Multi-chip: --tp N shards weights/KV over the model mesh axis, --fsdp N
+over the fsdp axis (one process, SPMD).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.config import Config
+from ..models import gpt
+from ..models.tokenizer import Tokenizer
+from .engine import InferenceEngine
+
+
+def load_and_prepare(
+    checkpoint_dir: Path,
+    *,
+    quantize: Optional[str] = None,
+    attn_alg: Optional[str] = None,
+    finetuned_path: Optional[Path] = None,
+    method: str = "lora",
+    precision: str = "bfloat16",
+    tp: int = 1,
+    fsdp: int = 1,
+):
+    """Load config+params (+finetuned deltas), quantize, shard."""
+    from ..utils.checkpoint import check_valid_checkpoint_dir, load_model_params
+
+    checkpoint_dir = Path(checkpoint_dir)
+    kw = {"attn_alg": attn_alg} if attn_alg else {}
+    cfg = Config.from_checkpoint(checkpoint_dir, **kw)
+    dtype = getattr(jnp, precision)
+    _, params = load_model_params(checkpoint_dir, cfg, dtype)
+
+    if finetuned_path is not None:
+        params = apply_finetuned(params, cfg, Path(finetuned_path), method, dtype)
+
+    if quantize:
+        from ..ops.quant import quantize_model
+
+        params = quantize_model(params, quantize)
+
+    if tp > 1 or fsdp > 1:
+        from ..parallel import sharding as sh
+
+        mesh = sh.make_mesh(data=1, fsdp=fsdp, model=tp)
+        specs = sh.param_specs(cfg, params, tp=tp > 1, fsdp_size=fsdp)
+        params = sh.shard_params(params, mesh, specs)
+    return cfg, params
+
+
+def apply_finetuned(params, cfg, finetuned_path: Path, method: str, dtype):
+    """Attach finetuned deltas: merge LoRA / overlay adapter leaves."""
+    from safetensors import safe_open
+
+    from ..models import lora as lora_mod
+
+    with safe_open(str(finetuned_path), framework="np") as sf:
+        delta = {name: sf.get_tensor(name) for name in sf.keys()}
+
+    def set_path(tree, dotted, value):
+        parts = dotted.split(".")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(value, dtype)
+
+    for name, arr in delta.items():
+        set_path(params, name, arr)
+    if method == "lora":
+        params = lora_mod.merge_lora(params)
+    return params
+
+
+def main(
+    prompt: str = "Hello, my name is",
+    checkpoint_dir: Path = Path("checkpoints"),
+    num_samples: int = 1,
+    max_new_tokens: int = 50,
+    top_k: Optional[int] = 200,
+    temperature: float = 0.8,
+    quantize: Optional[str] = None,
+    attn_alg: Optional[str] = None,
+    finetuned_path: Optional[Path] = None,
+    method: str = "lora",
+    prompt_style: Optional[str] = None,
+    precision: str = "bfloat16",
+    tp: int = 1,
+    fsdp: int = 1,
+    seed: int = 1234,
+) -> None:
+    """Generate text samples from a checkpoint (ref generate/base.py:96-187)."""
+    cfg, params = load_and_prepare(
+        checkpoint_dir, quantize=quantize, attn_alg=attn_alg,
+        finetuned_path=finetuned_path, method=method, precision=precision,
+        tp=tp, fsdp=fsdp,
+    )
+    tokenizer = Tokenizer(Path(checkpoint_dir))
+    if prompt_style:
+        from ..data.prompts import STYLES
+
+        prompt = STYLES[prompt_style]({"instruction": prompt, "input": ""})
+    encoded = tokenizer.encode(prompt)
+    prompt_len = len(encoded)
+    max_returned = prompt_len + max_new_tokens
+
+    engine = InferenceEngine(cfg, params, max_seq_length=max_returned, batch_size=1)
+    print(f"model {cfg.name}: attn_alg={cfg.attn_alg}"
+          + (f", quantized {quantize}" if quantize else ""), file=sys.stderr)
+
+    key = jax.random.PRNGKey(seed)
+    for i in range(num_samples):
+        key, sub = jax.random.split(key)
+        t0 = time.perf_counter()
+        out = engine.generate(
+            jnp.asarray(encoded), max_returned,
+            temperature=temperature, top_k=top_k,
+            eos_id=tokenizer.eos_id, key=sub,
+        )
+        dt = time.perf_counter() - t0
+        print(tokenizer.decode(np.asarray(out[0])))
+        n_new = out.shape[1] - prompt_len
+        print(
+            f"Time for inference {i + 1}: {dt:.02f} sec total, "
+            f"{n_new / dt:.02f} tokens/sec",
+            file=sys.stderr,
+        )
+
+
+if __name__ == "__main__":
+    from ..utils.cli import CLI
+
+    CLI(main)

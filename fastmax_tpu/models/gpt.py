@@ -220,26 +220,52 @@ def apply_attn(
     new_cache = None
     if kv_cache is not None:
         k_cache, v_cache = kv_cache
-        # write the T new tokens at offset input_pos (prefill chunk or decode)
-        zero = jnp.zeros_like(input_pos)
-        k_cache = jax.lax.dynamic_update_slice(
-            k_cache, k.astype(k_cache.dtype), (zero, zero, input_pos, zero)
-        )
-        v_cache = jax.lax.dynamic_update_slice(
-            v_cache, v.astype(v_cache.dtype), (zero, zero, input_pos, zero)
-        )
+        if input_pos.ndim == 0:
+            # write the T new tokens at offset input_pos (prefill chunk/decode)
+            zero = jnp.zeros_like(input_pos)
+            k_cache = jax.lax.dynamic_update_slice(
+                k_cache, k.astype(k_cache.dtype), (zero, zero, input_pos, zero)
+            )
+            v_cache = jax.lax.dynamic_update_slice(
+                v_cache, v.astype(v_cache.dtype), (zero, zero, input_pos, zero)
+            )
+        else:
+            # per-slot positions (continuous batching): T == 1, scatter each
+            # batch row's token at its own position
+            rows = jnp.arange(b)
+            k_cache = k_cache.at[rows, :, input_pos, :].set(k[:, :, 0, :].astype(k_cache.dtype))
+            v_cache = v_cache.at[rows, :, input_pos, :].set(v[:, :, 0, :].astype(v_cache.dtype))
         new_cache = (k_cache, v_cache)
         k, v = k_cache, v_cache
 
-    y = attention(
-        q,
-        k,
-        v,
-        attn_alg=cfg.attn_alg,
-        head_size=hs,
-        mask=mask,
-        is_decode=kv_cache is not None,
-    )
+    y = None
+    if (
+        cfg.attn_alg == "quadratic"
+        and new_cache is not None
+        and t > 1
+        and jax.default_backend() == "tpu"
+    ):
+        # KV-cache prefill on TPU: flash attention over the padded cache
+        # (pos0/kv_len mask the invalid tail). Queries pad to the block size.
+        from ..ops.flash_attention import DEFAULT_BLOCK_Q, flash_attention, flash_eligible
+
+        s_len = k.shape[2]
+        t_pad = (-t) % DEFAULT_BLOCK_Q
+        if flash_eligible(t + t_pad, s_len, hs):
+            qp = jnp.pad(q, ((0, 0), (0, 0), (0, t_pad), (0, 0))) if t_pad else q
+            y = flash_attention(
+                qp, k, v, scale=1.0 / hs ** 0.5, pos0=input_pos, kv_len=input_pos + t
+            )[:, :, :t]
+    if y is None:
+        y = attention(
+            q,
+            k,
+            v,
+            attn_alg=cfg.attn_alg,
+            head_size=hs,
+            mask=mask,
+            is_decode=kv_cache is not None,
+        )
     if "adapter" in p and cfg.attn_alg == "quadratic":
         # LLaMA-Adapter prefix attention (models/adapter.py); the reference
         # likewise only applies it on the SDPA path (adapter.py:119-149)
@@ -301,15 +327,22 @@ def forward(
         if kv_cache is None:
             raise ValueError("input_pos requires a kv_cache (call init_kv_cache)")
         input_pos = jnp.asarray(input_pos, jnp.int32)
-        zero = jnp.zeros_like(input_pos)
-        cos = jax.lax.dynamic_slice(rope_cos, (input_pos, zero), (t, cfg.rope_n_elem))
-        sin = jax.lax.dynamic_slice(rope_sin, (input_pos, zero), (t, cfg.rope_n_elem))
         s = kv_cache["k"].shape[3]
-        # mask[i, j]: query at absolute position input_pos + i may attend to
-        # cache slot j iff j <= input_pos + i
-        qpos = input_pos + jnp.arange(t)[:, None]
-        mask = jnp.arange(s)[None, :] <= qpos  # (T, S)
-        mask = mask[None, None]
+        if input_pos.ndim == 1:
+            # per-slot decode positions (continuous batching); T must be 1
+            if t != 1:
+                raise ValueError("vector input_pos requires single-token decode")
+            cos = rope_cos[input_pos][:, None, None, :]  # (B, 1, 1, nre)
+            sin = rope_sin[input_pos][:, None, None, :]
+            mask = (jnp.arange(s)[None, :] <= input_pos[:, None])[:, None, None, :]
+        else:
+            zero = jnp.zeros_like(input_pos)
+            cos = jax.lax.dynamic_slice(rope_cos, (input_pos, zero), (t, cfg.rope_n_elem))
+            sin = jax.lax.dynamic_slice(rope_sin, (input_pos, zero), (t, cfg.rope_n_elem))
+            # mask[i, j]: query at absolute position input_pos + i may attend
+            # to cache slot j iff j <= input_pos + i
+            qpos = input_pos + jnp.arange(t)[:, None]
+            mask = (jnp.arange(s)[None, :] <= qpos)[None, None]  # (1,1,T,S)
     else:
         cos = rope_cos[:t]
         sin = rope_sin[:t]
