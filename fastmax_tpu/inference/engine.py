@@ -31,6 +31,51 @@ from ..ops.rope import build_rope_cache
 from ..ops.sampling import sample
 
 
+def _largest_q4(params: dict) -> Optional[dict]:
+    """Find the largest 2D-sliced 4-bit linear for autotuning."""
+    best = None
+    best_size = -1
+
+    def walk(node):
+        nonlocal best, best_size
+        if isinstance(node, dict):
+            if "q4" in node:
+                arr = node["q4"]
+                if arr.size > best_size:
+                    if arr.ndim > 2:
+                        idx = (0,) * (arr.ndim - 2)
+                        node = {
+                            k: (v[idx] if hasattr(v, "ndim") and v.ndim > _AUTOTUNE_RANK.get(k, 0) else v)
+                            for k, v in node.items() if k != "bias"
+                        }
+                    best, best_size = {k: v for k, v in node.items() if k != "bias"}, arr.size
+            else:
+                for v in node.values():
+                    walk(v)
+
+    walk(params)
+    return best
+
+
+_AUTOTUNE_RANK = {"q4": 2, "absmax": 2, "code": 1, "absmax_q": 2,
+                  "absmax_scale": 1, "absmax_offset": 0}
+
+
+def _dense_param_count(params: dict) -> int:
+    import numpy as np
+
+    total = 0
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        name = str(path[-1])
+        if "q4" in name:
+            total += leaf.size * 2
+        elif any(s in name for s in ("absmax", "code", "scale")):
+            continue
+        else:
+            total += leaf.size
+    return total
+
+
 class InferenceEngine:
     """Holds config + jitted prefill/decode for a fixed (batch, max_seq)."""
 
@@ -42,8 +87,17 @@ class InferenceEngine:
         max_seq_length: Optional[int] = None,
         batch_size: int = 1,
         cache_dtype=None,
+        weights_mode: str = "auto",
     ):
+        """weights_mode (for quantized params):
+        "quantized"  keep packed weights, dequantize inside each matmul
+                     (fused Pallas or XLA path, autotuned);
+        "preload"    dequantize once to the activation dtype at init —
+                     dense-bandwidth decode at a 4x HBM footprint;
+        "auto"       preload iff the dense model fits comfortably in HBM.
+        """
         self.cfg = cfg
+        params = self._resolve_weights(params, weights_mode)
         self.params = params
         self.max_seq_length = min(max_seq_length or cfg.block_size, cfg.block_size)
         self.batch_size = batch_size
@@ -63,6 +117,48 @@ class InferenceEngine:
             static_argnames=("temperature", "top_k"),
             donate_argnums=(1,),
         )
+
+    @staticmethod
+    def _resolve_weights(params: dict, mode: str) -> dict:
+        from ..ops import quant
+
+        leaves = jax.tree_util.tree_flatten_with_path(params)[0]
+        has_quant = any(str(p[-1]).find("q4") >= 0 or str(p[-1]).find("q8") >= 0
+                        for p, _ in leaves)
+        if not has_quant or mode == "quantized":
+            if has_quant and jax.default_backend() == "tpu":
+                # pick the faster 4-bit matmul implementation for this chip
+                sample = _largest_q4(params)
+                if sample is not None:
+                    k_in = sample["q4"].shape[0] * 2
+                    x = jnp.zeros((1, k_in), params["wte"].dtype)
+                    quant.autotune_quant_backend(sample, x)
+            return params
+        act_dtype = params["wte"].dtype
+        if mode == "preload":
+            return quant.dequantize_model(params, act_dtype)
+        # auto: preload when the dense model fits in ~60% of device memory
+        n_params = _dense_param_count(params)
+        dense_bytes = n_params * jnp.dtype(act_dtype).itemsize
+        dev = jax.devices()[0]
+        limit = 0
+        try:
+            stats = dev.memory_stats()
+            if stats:
+                limit = stats.get("bytes_limit", 0)
+        except Exception:
+            pass
+        if not limit:
+            # stats unavailable on some runtimes (e.g. tunneled chips):
+            # fall back to nominal HBM per chip by device kind
+            kind = dev.device_kind.lower()
+            for key, gb in (("v5p", 95), ("v5 lite", 16), ("v5e", 16), ("v4", 32), ("v6", 32)):
+                if key in kind:
+                    limit = gb * 2**30
+                    break
+        if limit and dense_bytes < 0.6 * limit:
+            return quant.dequantize_model(params, act_dtype)
+        return InferenceEngine._resolve_weights(params, "quantized")
 
     def new_cache(self) -> dict:
         return gpt.init_kv_cache(self.cfg, self.batch_size, self.max_seq_length, self.cache_dtype)

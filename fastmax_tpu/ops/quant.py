@@ -182,15 +182,60 @@ def quantize_int8(kernel: np.ndarray) -> dict:
     return {"q8": jnp.asarray(q), "scale8": jnp.asarray(scale)}
 
 
-def quantized_matmul(x: jnp.ndarray, p: dict) -> jnp.ndarray:
-    """x @ dequant(kernel).
+# Which implementation executes 4-bit matmuls:
+#   "xla"    dequant -> matmul in the XLA graph (fuses well; on
+#            virtualized/tunneled TPUs where Pallas-initiated HBM DMA is
+#            slow, this is the fastest path — measured 8.6ms vs 14.6ms per
+#            decoded token on a TinyLlama-shaped stack on axon-v5e)
+#   "pallas" fused Pallas dequant+matmul (ops/quant_pallas.py) — the
+#            bandwidth-optimal kernel on hardware with full-rate DMA
+#   "auto"   resolved by autotune_quant_backend() (engine init calls it)
+_QUANT_BACKEND = "xla"
 
-    On TPU, 4-bit linears with tile-aligned shapes route to the Pallas fused
-    dequant+matmul kernel (ops/quant_pallas.py) — packed bytes stream
-    straight to VMEM instead of a dequantized copy round-tripping HBM.
-    Everything else takes the XLA dequant->matmul path.
-    """
-    if "q4" in p and jax.default_backend() == "tpu":
+
+def set_quant_backend(name: str) -> None:
+    global _QUANT_BACKEND
+    if name not in ("xla", "pallas"):
+        raise ValueError(name)
+    _QUANT_BACKEND = name
+
+
+def get_quant_backend() -> str:
+    return _QUANT_BACKEND
+
+
+def autotune_quant_backend(sample_p: dict, sample_x: "jnp.ndarray", iters: int = 20) -> str:
+    """Time both 4-bit matmul implementations on a representative shape and
+    select the faster one (must run OUTSIDE jit; the choice is baked into
+    subsequent traces)."""
+    import time as _time
+
+    from .quant_pallas import pallas_eligible, quantized_matmul_pallas
+
+    k_in = sample_p["q4"].shape[0] * 2
+    k_out = sample_p["q4"].shape[1]
+    if jax.default_backend() != "tpu" or not pallas_eligible(sample_p, k_in, k_out):
+        set_quant_backend("xla")
+        return _QUANT_BACKEND
+
+    def timed(fn):
+        y = fn(sample_x)
+        y.block_until_ready()
+        t0 = _time.perf_counter()
+        for _ in range(iters):
+            y = fn(sample_x)
+        y.block_until_ready()
+        return _time.perf_counter() - t0
+
+    f_pallas = jax.jit(lambda x: quantized_matmul_pallas(x, sample_p))
+    f_xla = jax.jit(lambda x: jnp.einsum("...i,io->...o", x, dequantize(sample_p, x.dtype)))
+    set_quant_backend("pallas" if timed(f_pallas) < timed(f_xla) else "xla")
+    return _QUANT_BACKEND
+
+
+def quantized_matmul(x: jnp.ndarray, p: dict) -> jnp.ndarray:
+    """x @ dequant(kernel), routed by the active quant backend."""
+    if "q4" in p and _QUANT_BACKEND == "pallas" and jax.default_backend() == "tpu":
         from .quant_pallas import pallas_eligible, quantized_matmul_pallas
 
         k_in = p["q4"].shape[0] * 2
@@ -199,6 +244,44 @@ def quantized_matmul(x: jnp.ndarray, p: dict) -> jnp.ndarray:
             return quantized_matmul_pallas(x, p)
     kernel = dequantize(p, x.dtype)
     return jnp.einsum("...i,io->...o", x, kernel)
+
+
+def dequantize_model(params: dict, dtype=jnp.bfloat16) -> dict:
+    """Materialize every quantized linear back to a dense kernel ("preload"
+    execution: NF4 storage/accuracy, dense-bandwidth compute — the right
+    trade when the dequantized model fits HBM; a 4x footprint cost)."""
+
+    def walk(node):
+        if isinstance(node, dict):
+            if "q4" in node or "q8" in node:
+                lead_key = "q4" if "q4" in node else "q8"
+                arr = node[lead_key]
+                if arr.ndim == 2:
+                    out = {"kernel": dequantize(node, dtype)}
+                else:
+                    lead = arr.shape[:-2]
+                    import numpy as _np
+
+                    slices = []
+                    for idx in _np.ndindex(*lead):
+                        sub = {
+                            k: v[idx] if hasattr(v, "ndim") and v.ndim > _RANK.get(k, 0) else v
+                            for k, v in node.items()
+                            if k != "bias"
+                        }
+                        slices.append(dequantize(sub, dtype))
+                    out = {"kernel": jnp.stack(slices).reshape(lead + slices[0].shape)}
+                if "bias" in node:
+                    out["bias"] = node["bias"]
+                return out
+            return {k: walk(v) for k, v in node.items()}
+        return node
+
+    return {k: walk(v) for k, v in params.items()}
+
+
+_RANK = {"q4": 2, "q8": 2, "absmax": 2, "code": 1, "absmax_q": 2,
+         "absmax_scale": 1, "absmax_offset": 0, "scale8": 1}
 
 
 # ------------------------------------------------------------------ plumbing

@@ -52,8 +52,14 @@ def data_iterators(data_format: str, io: IOArgs, block_size: int, batch_size: in
         files = sorted(Path(io.train_data_dir).glob("*.bin"))
         if not files:
             raise FileNotFoundError(f"no .bin chunks under {io.train_data_dir}")
-        train_ds = PackedDataset(files, n_chunks=min(8, len(files)), block_size=block_size + 1,
-                                 seed=seed, wrap=True)
+        from ..native.loader import NativePackedDataset, native_available
+
+        if native_available():
+            # C++ prefetch-threaded reader (fastmax_tpu/native)
+            train_ds = NativePackedDataset(files, block_size + 1, seed=seed, wrap=True)
+        else:
+            train_ds = PackedDataset(files, n_chunks=min(8, len(files)),
+                                     block_size=block_size + 1, seed=seed, wrap=True)
         val_ds = None
         if io.val_data_dir:
             vfiles = sorted(Path(io.val_data_dir).glob("*.bin"))
