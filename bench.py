@@ -46,6 +46,15 @@ def main() -> None:
     out = engine.generate(prompt, 64 + 32, temperature=0.0, key=jax.random.PRNGKey(1))
     out.block_until_ready() if hasattr(out, "block_until_ready") else None
 
+    # TTFT: prefill + first token (warm), reported to stderr as a secondary
+    cache = engine.new_cache()
+    t0 = time.perf_counter()
+    logits, cache = engine._prefill(engine.params, prompt[None].astype(jnp.int32), cache, 0)
+    logits.block_until_ready()
+    ttft = time.perf_counter() - t0
+    print(f"p50 TTFT (64-token prompt, warm): {ttft*1e3:.1f} ms", file=sys.stderr)
+    del cache
+
     n_new = 256
     t0 = time.perf_counter()
     out = engine.generate(prompt, 64 + n_new, temperature=0.0, key=jax.random.PRNGKey(2))

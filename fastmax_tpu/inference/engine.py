@@ -160,16 +160,31 @@ class InferenceEngine:
             return quant.dequantize_model(params, act_dtype)
         return InferenceEngine._resolve_weights(params, "quantized")
 
+    @property
+    def _linear_alg(self) -> bool:
+        return self.cfg.attn_alg in ("fastmax", "fastmax_cuda", "linearmax", "performer")
+
     def new_cache(self) -> dict:
+        if self._linear_alg:
+            # O(1)-per-token running state instead of a dense KV buffer
+            return gpt.init_linear_cache(self.cfg, self.batch_size)
         return gpt.init_kv_cache(self.cfg, self.batch_size, self.max_seq_length, self.cache_dtype)
 
     # ------------------------------------------------------------------ steps
 
-    def _prefill_impl(self, params, tokens, cache, input_pos):
-        logits, cache = gpt.forward(
+    def _model_step(self, params, tokens, cache, input_pos):
+        if self._linear_alg:
+            return gpt.forward_linear_cache(
+                params, self.cfg, tokens,
+                state=cache, input_pos=input_pos, rope_cache=self.rope_cache,
+            )
+        return gpt.forward(
             params, self.cfg, tokens,
             input_pos=input_pos, kv_cache=cache, rope_cache=self.rope_cache,
         )
+
+    def _prefill_impl(self, params, tokens, cache, input_pos):
+        logits, cache = self._model_step(params, tokens, cache, input_pos)
         return logits[:, -1, :], cache
 
     def _decode_loop_impl(
@@ -189,10 +204,7 @@ class InferenceEngine:
             i, cache, tokens, key, done = carry
             pos = prompt_len + i
             cur = jax.lax.dynamic_slice(tokens, (0, i), (b, 1))
-            logits, cache = gpt.forward(
-                params, self.cfg, cur,
-                input_pos=pos, kv_cache=cache, rope_cache=self.rope_cache,
-            )
+            logits, cache = self._model_step(params, cur, cache, pos)
             key, sub = jax.random.split(key)
             nxt = sample(logits[:, -1, :], sub, temperature, top_k)
             tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, i + 1))

@@ -68,13 +68,24 @@ def load_and_prepare(
 
 
 def apply_finetuned(params, cfg, finetuned_path: Path, method: str, dtype):
-    """Attach finetuned deltas: merge LoRA / overlay adapter leaves."""
+    """Attach finetuned weights.
+
+    method "full": the file holds a complete lit-named state dict — replace
+    all params (generate/full.py role). lora/adapter: the file holds delta
+    leaves addressed by internal pytree dot-paths (training/finetune.py's
+    checkpoint_fn contract); LoRA deltas are merged into the base
+    (generate/lora.py:42,91)."""
     from safetensors import safe_open
 
     from ..models import lora as lora_mod
 
     with safe_open(str(finetuned_path), framework="np") as sf:
         delta = {name: sf.get_tensor(name) for name in sf.keys()}
+
+    if method == "full":
+        from ..models.params import flat_to_params
+
+        return flat_to_params(delta, cfg, dtype)
 
     def set_path(tree, dotted, value):
         parts = dotted.split(".")

@@ -378,3 +378,171 @@ def forward(
     x = apply_norm(x, params["ln_f"], cfg.norm_class_name, cfg.norm_eps, cfg.add_unit_offset)
     logits = linear(params["lm_head"], x)
     return logits, new_cache
+
+
+# --------------------------------------------------------------------------
+# Linear-attention state cache: O(1)-per-token decode for the linear
+# attention algorithms (fastmax/linearmax/performer). See ops/fastmax.py —
+# the reference instead re-read the full padded KV buffer every step.
+# --------------------------------------------------------------------------
+
+
+def init_linear_cache(cfg: Config, batch_size: int) -> dict:
+    """Stacked per-layer running state (leading n_layer axis), shaped for
+    the full head count (linear algs run on expanded heads)."""
+    from ..ops import fastmax as fm
+
+    l, h, d = cfg.n_layer, cfg.n_head, cfg.head_size
+    f32 = jnp.float32
+    p = 2 if cfg.attn_alg in ("fastmax", "fastmax_cuda") else 1
+    d2 = d * d if p == 2 else 1
+    state = {
+        "cnt": jnp.zeros((l, batch_size, h), f32),
+        "s_v": jnp.zeros((l, batch_size, h, d), f32),
+        "s_kv": jnp.zeros((l, batch_size, h, d, d), f32),
+        "s_k": jnp.zeros((l, batch_size, h, d), f32),
+        "s_kkv": jnp.zeros((l, batch_size, h, d2, d), f32),
+        "s_kk": jnp.zeros((l, batch_size, h, d2), f32),
+    }
+    if cfg.attn_alg == "linearmax":
+        state["q_div"] = jnp.ones((l, batch_size, h), f32)
+        state["k_div"] = jnp.ones((l, batch_size, h), f32)
+    return state
+
+
+def _attn_linear_state(p, x, cfg, cos, sin, state, is_prefill):
+    """Attention through the running linear-attention state.
+
+    state: per-layer slice (no leading L axis). Returns (out, new_state).
+    """
+    from ..ops import fastmax as fm
+    from ..ops.attention import repeat_kv_heads
+
+    b, t, _ = x.shape
+    hs, g = cfg.head_size, cfg.n_query_groups
+    q_per_kv = cfg.n_head // g
+    qkv = linear(p["attn"], x)
+    qkv = qkv.reshape(b, t, g, q_per_kv + 2, hs)
+    q = qkv[..., :q_per_kv, :].reshape(b, t, cfg.n_head, hs).transpose(0, 2, 1, 3)
+    k = qkv[..., q_per_kv, :].transpose(0, 2, 1, 3)
+    v = qkv[..., q_per_kv + 1, :].transpose(0, 2, 1, 3)
+    nre = cfg.rope_n_elem
+    q = q.at[..., :nre].set(apply_rope(q[..., :nre], cos, sin)) if nre < hs else apply_rope(q, cos, sin)
+    k = k.at[..., :nre].set(apply_rope(k[..., :nre], cos, sin)) if nre < hs else apply_rope(k, cos, sin)
+    k = repeat_kv_heads(k, cfg.n_head)
+    v = repeat_kv_heads(v, cfg.n_head)
+
+    alg = cfg.attn_alg
+    pdeg = 2 if alg in ("fastmax", "fastmax_cuda") else 1
+    import math as _math
+
+    if is_prefill:
+        if alg in ("fastmax", "fastmax_cuda"):
+            y, new_state = fm.fastmax_prefill_state(q, k, v, p=pdeg)
+            new_state = {**state, **new_state}
+        elif alg == "linearmax":
+            y, new_state = fm.linearmax_prefill_state(q, k, v, p=1)
+            new_state = {**state, **new_state}
+        elif alg == "performer":
+            y, ps = fm.performer_prefill_state(q, k, v)
+            new_state = {**state, **ps}
+        else:
+            raise ValueError(alg)
+    else:
+        q1, k1, v1 = q[:, :, 0], k[:, :, 0], v[:, :, 0]
+        if alg in ("fastmax", "fastmax_cuda"):
+            z = 8.0 * _math.sqrt(hs)
+            core = {key: state[key] for key in ("cnt", "s_v", "s_kv", "s_k", "s_kkv", "s_kk")}
+            core, o = fm.linear_attn_decode_step(core, q1, k1, v1, z, pdeg)
+            new_state = {**state, **core}
+        elif alg == "linearmax":
+            new_state, o = fm.linearmax_decode_step(state, q1, k1, v1, p=1)
+        elif alg == "performer":
+            sub = {"s_kv": state["s_kv"], "s_k": state["s_k"]}
+            sub, o = fm.performer_decode_step(sub, q1, k1, v1)
+            new_state = {**state, **sub}
+        else:
+            raise ValueError(alg)
+        y = o[:, :, None, :]
+    y = y.astype(x.dtype).transpose(0, 2, 1, 3).reshape(b, t, hs * cfg.n_head)
+    return linear(p["proj"], y), new_state
+
+
+def forward_linear_cache(
+    params: dict,
+    cfg: Config,
+    idx: jnp.ndarray,
+    *,
+    state: dict,
+    input_pos,
+    rope_cache=None,
+    max_seq_length: Optional[int] = None,
+):
+    """Forward with the linear-attention running-state cache.
+
+    input_pos == 0 with T tokens: prefill (resets the state).
+    T == 1 with scalar input_pos: one decode step.
+    Returns (logits, new_state).
+    """
+    b, t = idx.shape
+    if rope_cache is None:
+        n = max_seq_length or cfg.block_size
+        rope_cache = build_rope_cache(n, cfg.rope_n_elem, cfg.rope_base, cfg.rope_condense_ratio)
+    rope_cos, rope_sin = rope_cache
+    input_pos = jnp.asarray(input_pos, jnp.int32)
+    zero = jnp.zeros_like(input_pos)
+    cos = jax.lax.dynamic_slice(rope_cos, (input_pos, zero), (t, cfg.rope_n_elem))
+    sin = jax.lax.dynamic_slice(rope_sin, (input_pos, zero), (t, cfg.rope_n_elem))
+    is_prefill = t > 1
+
+    x = embedding(params["wte"], idx)
+    if cfg.scale_embeddings:
+        x = x * (cfg.n_embd ** 0.5)
+
+    def body(carry, scanned):
+        bp, st = scanned
+        n1 = apply_norm(carry, bp["norm_1"], cfg.norm_class_name, cfg.norm_eps, cfg.add_unit_offset)
+        h, st = _attn_linear_state(bp["attn"], n1, cfg, cos, sin, st, is_prefill)
+        if cfg.parallel_residual:
+            n2 = n1 if cfg.shared_attention_norm else apply_norm(
+                carry, bp["norm_2"], cfg.norm_class_name, cfg.norm_eps, cfg.add_unit_offset
+            )
+            y = apply_mlp(bp["mlp"], n2, cfg) + h + carry
+        else:
+            y = h + carry
+            n2 = apply_norm(y, bp["norm_2"], cfg.norm_class_name, cfg.norm_eps, cfg.add_unit_offset)
+            y = apply_mlp(bp["mlp"], n2, cfg) + y
+        return y, st
+
+    x, new_state = jax.lax.scan(body, x, (params["blocks"], state))
+    x = apply_norm(x, params["ln_f"], cfg.norm_class_name, cfg.norm_eps, cfg.add_unit_offset)
+    return linear(params["lm_head"], x), new_state
+
+
+def forward_hidden(
+    params: dict,
+    cfg: Config,
+    idx: jnp.ndarray,
+    *,
+    remat: bool = False,
+) -> jnp.ndarray:
+    """Full-sequence forward returning final hidden states (post-ln_f),
+    without the lm_head — pair with utils.loss.chunked_cross_entropy for the
+    reference's lm_head_chunk_size training pattern (lora.py:525-550)."""
+    rope_cache = build_rope_cache(
+        cfg.block_size, cfg.rope_n_elem, cfg.rope_base, cfg.rope_condense_ratio
+    )
+    t = idx.shape[1]
+    cos, sin = rope_cache[0][:t], rope_cache[1][:t]
+    x = embedding(params["wte"], idx)
+    if cfg.scale_embeddings:
+        x = x * (cfg.n_embd ** 0.5)
+
+    def body(carry, bp):
+        y, _ = apply_block(bp, carry, cfg, cos, sin, None, None, None)
+        return y, None
+
+    if remat:
+        body = jax.checkpoint(body)
+    x, _ = jax.lax.scan(body, x, params["blocks"])
+    return apply_norm(x, params["ln_f"], cfg.norm_class_name, cfg.norm_eps, cfg.add_unit_offset)

@@ -97,7 +97,7 @@ def _unmasked_linear(q, k, v, z: float, p: int):
     return f / g[..., None]
 
 
-def _masked_chunked(q, k, v, z: float, p: int, chunk: int):
+def _masked_chunked(q, k, v, z: float, p: int, chunk: int, return_state: bool = False):
     """Causal chunked prefix-scan formulation.
 
     Carried state per (batch, head):
@@ -172,9 +172,19 @@ def _masked_chunked(q, k, v, z: float, p: int, chunk: int):
         jnp.zeros((b, h, d * d, d), f32) if p == 2 else jnp.zeros((b, h, 1, 1), f32),
         jnp.zeros((b, h, d * d), f32) if p == 2 else jnp.zeros((b, h, 1), f32),
     )
-    _, o = jax.lax.scan(step, state0, (qc, kc, vc))
+    final, o = jax.lax.scan(step, state0, (qc, kc, vc))
     o = o.transpose(1, 2, 0, 3, 4).reshape(b, h, n + n_pad, d)
-    return o[:, :, :n, :]
+    o = o[:, :, :n, :]
+    if not return_state:
+        return o
+    # padded tail tokens are zeros: they inflate only cnt — correct it
+    cnt, s_v, s_kv, s_k, s_kkv, s_kk = final
+    cnt = cnt - float(n_pad)
+    # NOTE: zero k/v also add f(0)=1-weighted zero contributions to s_kkv et
+    # al (outer products of zeros are zero), so only cnt needs fixing.
+    state = {"cnt": cnt, "s_v": s_v, "s_kv": s_kv, "s_k": s_k,
+             "s_kkv": s_kkv, "s_kk": s_kk}
+    return o, state
 
 
 @partial(jax.jit, static_argnames=("mask", "normalize_term", "tensors_normalized", "p", "chunk"))
@@ -279,7 +289,85 @@ def performer(q, k, v, eps: float = 1e-6, chunk: int = DEFAULT_CHUNK):
 # ---------------------------------------------------------------------------
 # O(1)-state decode: the TPU-native replacement for running linear attention
 # over a dense KV cache during autoregressive decoding.
+#
+# Design note: during decode the reference ran the UNMASKED global-sum
+# formula over the full zero-padded KV buffer (model.py:463-487), whose
+# denominator counts only the query length — a train/inference semantic
+# mismatch. Here decode continues the exact masked/causal math of the
+# prefill via a running state, at O(1) per token instead of O(S).
 # ---------------------------------------------------------------------------
+
+
+def fastmax_prefill_state(q, k, v, *, p: int, normalize_term: float = 8.0,
+                          tensors_normalized: bool = False,
+                          chunk: int = DEFAULT_CHUNK):
+    """Masked fastmax over a prompt, returning (output, running state) for
+    recurrent decode. State normalizers: see `z_of`."""
+    dtype = q.dtype
+    q, k, v = (x.astype(jnp.float32) for x in (q, k, v))
+    d = q.shape[-1]
+    z = 1.0 if tensors_normalized else float(normalize_term) * math.sqrt(d)
+    o, state = _masked_chunked(q, k, v, z, p, chunk, return_state=True)
+    return o.astype(dtype), state
+
+
+def linearmax_prefill_state(q, k, v, *, p: int = 1, chunk: int = DEFAULT_CHUNK):
+    """linearmax prefill with state. The hack's q/k normalization divides by
+    the max token norm over the WHOLE sequence (fastmax_hack.py:38-43) — an
+    acausal statistic. For decode we freeze the normalizers measured on the
+    prompt (stored in the state as q_div/k_div) and keep using them for new
+    tokens: causal, and identical to the reference on the prompt itself."""
+    dtype = q.dtype
+    q, k, v = (x.astype(jnp.float32) for x in (q, k, v))
+    q = q - jnp.mean(q, axis=-1, keepdims=True)
+    k = k - jnp.mean(k, axis=-1, keepdims=True)
+    qn = jnp.sqrt(jnp.sum(q * q, axis=-1))
+    kn = jnp.sqrt(jnp.sum(k * k, axis=-1))
+    q_div = jnp.maximum(jnp.max(qn, axis=-1), 1e-6)  # (B, H)
+    k_div = jnp.maximum(jnp.max(kn, axis=-1), 1e-6)
+    q = q / q_div[..., None, None]
+    k = k / k_div[..., None, None]
+    o, state = _masked_chunked(q, k, v, 1.0, p, chunk, return_state=True)
+    state["q_div"] = q_div
+    state["k_div"] = k_div
+    return o.astype(dtype), state
+
+
+def linearmax_decode_step(state, q, k, v, p: int = 1):
+    """One linearmax decode step using the frozen prompt normalizers."""
+    q = q.astype(jnp.float32)
+    k = k.astype(jnp.float32)
+    q = (q - jnp.mean(q, axis=-1, keepdims=True)) / state["q_div"][..., None]
+    k = (k - jnp.mean(k, axis=-1, keepdims=True)) / state["k_div"][..., None]
+    core = {key: state[key] for key in ("cnt", "s_v", "s_kv", "s_k", "s_kkv", "s_kk")}
+    core, o = linear_attn_decode_step(core, q, k, v, 1.0, p)
+    new_state = dict(core)
+    new_state["q_div"] = state["q_div"]
+    new_state["k_div"] = state["k_div"]
+    return new_state, o
+
+
+def performer_prefill_state(q, k, v, eps: float = 1e-6, chunk: int = DEFAULT_CHUNK):
+    """Causal performer over a prompt, returning (output, state)."""
+    dtype = q.dtype
+    o = performer(q, k, v, eps=eps, chunk=chunk)
+    k32 = k.astype(jnp.float32)
+    v32 = v.astype(jnp.float32)
+    state = {
+        "s_kv": jnp.einsum("bhnm,bhnj->bhmj", k32, v32),
+        "s_k": jnp.sum(k32, axis=-2),
+    }
+    return o.astype(dtype), state
+
+
+def performer_decode_step(state, q, k, v, eps: float = 1e-6):
+    q, k, v = (x.astype(jnp.float32) for x in (q, k, v))
+    s_kv = state["s_kv"] + k[..., :, None] * v[..., None, :]
+    s_k = state["s_k"] + k
+    num = jnp.einsum("bhm,bhmj->bhj", q, s_kv)
+    den = jnp.einsum("bhm,bhm->bh", q, s_k + eps)
+    o = num / den[..., None]
+    return {"s_kv": s_kv, "s_k": s_k}, o
 
 def linear_attn_state_init(batch: int, heads: int, d: int, p: int):
     """Zero running state for recurrent fastmax decode."""

@@ -34,13 +34,22 @@ from .fit import TrainState, build_optimizer, fit
 METHODS = ("full", "lora", "adapter", "adapter_v2")
 
 
-def sft_loss_fn(cfg: Config, remat: bool = True):
+def sft_loss_fn(cfg: Config, remat: bool = True, lm_head_chunk_size: int = 128):
+    """SFT loss with the lm_head chunked like the reference
+    (finetune/lora.py:216-219: model(..., lm_head_chunk_size=128) +
+    chunked_cross_entropy): the final hidden states go through the head in
+    chunks so the fp32 (B, T, V) logits never materialize."""
+    from ..utils.loss import chunked_cross_entropy
+    from ..ops.linear import linear
+    from ..ops.norms import apply_norm
+
     def loss_fn(params, batch):
         inputs, labels = batch
-        logits, _ = gpt.forward(params, cfg, inputs, remat=remat)
-        # next-token: logits[:, :-1] predict labels[:, 1:] (prompt tokens
-        # carry ignore_index from the prepare scripts)
-        return cross_entropy(logits[:, :-1], labels[:, 1:])
+        hidden = gpt.forward_hidden(params, cfg, inputs, remat=remat)
+        # next-token: hidden[:, :-1] predicts labels[:, 1:]
+        return chunked_cross_entropy(
+            hidden[:, :-1], params["lm_head"], labels[:, 1:], lm_head_chunk_size
+        )
 
     return loss_fn
 

@@ -49,6 +49,8 @@ def _hf_to_flat_neox(hf_sd, cfg):
 
 
 def _hf_to_flat_llama(hf_sd, cfg):
+    import re
+
     flat = {}
     wm = llama_weight_map(cfg)
     trio = {}
@@ -62,10 +64,15 @@ def _hf_to_flat_llama(hf_sd, cfg):
             if any(p in name for p in ("q_proj", "k_proj", "v_proj")):
                 trio.setdefault(layer, {})[parts[-2][0]] = arr
                 continue
+            expert = None
+            m = re.search(r"experts\.(\d+)\.", key)
+            if m:
+                expert = int(m.group(1))
+                key = key.replace(f"experts.{expert}.", "experts.{e}.")
             to = wm.get(key)
             if to is None:
                 continue
-            flat[to.format(layer)] = arr
+            flat[to.format(layer, e=expert)] = arr
         else:
             to = wm.get(name)
             if to is not None:
