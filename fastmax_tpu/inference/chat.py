@@ -220,7 +220,11 @@ def main(
         print(f"\n** {n} tokens, {n / dt:.2f} tokens/sec **\n", file=sys.stderr)
 
 
-if __name__ == "__main__":
+def cli() -> None:
     from ..utils.cli import CLI
 
     CLI(main)
+
+
+if __name__ == "__main__":
+    cli()

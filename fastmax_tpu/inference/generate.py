@@ -156,7 +156,11 @@ def main(
         )
 
 
-if __name__ == "__main__":
+def cli() -> None:
     from ..utils.cli import CLI
 
     CLI(main)
+
+
+if __name__ == "__main__":
+    cli()

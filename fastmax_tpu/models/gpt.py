@@ -125,9 +125,36 @@ def init_params(cfg: Config, key, dtype=jnp.float32) -> dict:
 
 
 def init_kv_cache(cfg: Config, batch_size: int, max_seq_length: int, dtype=jnp.float32) -> dict:
-    """Grouped KV cache: (L, B, n_query_groups, S, head_size)."""
+    """Grouped KV cache: (L, B, n_query_groups, S, head_size).
+
+    dtype == jnp.int8 selects the quantized cache: values are stored int8
+    with a per-token-per-group float16 absmax scale (halves KV memory vs
+    bf16 — the long-context lever the reference lacked; its cache was a
+    dense pre-allocated fp buffer, model.py:711-740).
+    """
     shape = (cfg.n_layer, batch_size, cfg.n_query_groups, max_seq_length, cfg.head_size)
+    if dtype == jnp.int8:
+        sshape = shape[:-1]
+        return {
+            "k": jnp.zeros(shape, jnp.int8),
+            "v": jnp.zeros(shape, jnp.int8),
+            "k_scale": jnp.zeros(sshape, jnp.float16),
+            "v_scale": jnp.zeros(sshape, jnp.float16),
+        }
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def _quantize_kv(x: jnp.ndarray):
+    """Per-token-per-group symmetric int8: x (B, G, T, hs) -> (codes, scale)."""
+    absmax = jnp.max(jnp.abs(x), axis=-1)
+    scale = (absmax / 127.0).astype(jnp.float16)
+    safe = jnp.where(scale == 0, 1.0, scale.astype(x.dtype))
+    codes = jnp.clip(jnp.round(x / safe[..., None]), -127, 127).astype(jnp.int8)
+    return codes, scale
+
+
+def _dequantize_kv(codes: jnp.ndarray, scale: jnp.ndarray, dtype) -> jnp.ndarray:
+    return codes.astype(dtype) * scale.astype(dtype)[..., None]
 
 
 # --------------------------------------------------------------------------
@@ -219,24 +246,46 @@ def apply_attn(
 
     new_cache = None
     if kv_cache is not None:
-        k_cache, v_cache = kv_cache
+        quantized_cache = "k_scale" in kv_cache
+        act_dtype = k.dtype
+        if quantized_cache:
+            k_new, k_new_scale = _quantize_kv(k)
+            v_new, v_new_scale = _quantize_kv(v)
+        else:
+            k_new, v_new = k, v
+        k_cache, v_cache = kv_cache["k"], kv_cache["v"]
         if input_pos.ndim == 0:
             # write the T new tokens at offset input_pos (prefill chunk/decode)
             zero = jnp.zeros_like(input_pos)
             k_cache = jax.lax.dynamic_update_slice(
-                k_cache, k.astype(k_cache.dtype), (zero, zero, input_pos, zero)
+                k_cache, k_new.astype(k_cache.dtype), (zero, zero, input_pos, zero)
             )
             v_cache = jax.lax.dynamic_update_slice(
-                v_cache, v.astype(v_cache.dtype), (zero, zero, input_pos, zero)
+                v_cache, v_new.astype(v_cache.dtype), (zero, zero, input_pos, zero)
             )
+            if quantized_cache:
+                ks = jax.lax.dynamic_update_slice(
+                    kv_cache["k_scale"], k_new_scale, (zero, zero, input_pos)
+                )
+                vs = jax.lax.dynamic_update_slice(
+                    kv_cache["v_scale"], v_new_scale, (zero, zero, input_pos)
+                )
         else:
             # per-slot positions (continuous batching): T == 1, scatter each
             # batch row's token at its own position
             rows = jnp.arange(b)
-            k_cache = k_cache.at[rows, :, input_pos, :].set(k[:, :, 0, :].astype(k_cache.dtype))
-            v_cache = v_cache.at[rows, :, input_pos, :].set(v[:, :, 0, :].astype(v_cache.dtype))
-        new_cache = (k_cache, v_cache)
-        k, v = k_cache, v_cache
+            k_cache = k_cache.at[rows, :, input_pos, :].set(k_new[:, :, 0, :].astype(k_cache.dtype))
+            v_cache = v_cache.at[rows, :, input_pos, :].set(v_new[:, :, 0, :].astype(v_cache.dtype))
+            if quantized_cache:
+                ks = kv_cache["k_scale"].at[rows, :, input_pos].set(k_new_scale[:, :, 0])
+                vs = kv_cache["v_scale"].at[rows, :, input_pos].set(v_new_scale[:, :, 0])
+        if quantized_cache:
+            new_cache = {"k": k_cache, "v": v_cache, "k_scale": ks, "v_scale": vs}
+            k = _dequantize_kv(k_cache, ks, act_dtype)
+            v = _dequantize_kv(v_cache, vs, act_dtype)
+        else:
+            new_cache = {"k": k_cache, "v": v_cache}
+            k, v = k_cache, v_cache
 
     y = None
     if (
@@ -355,12 +404,11 @@ def forward(
     if kv_cache is not None:
 
         def body(carry, scanned):
-            bp, kc, vc = scanned
-            y, (kc, vc) = apply_block(bp, carry, cfg, cos, sin, mask, (kc, vc), input_pos)
-            return y, (kc, vc)
+            bp, cache_l = scanned
+            y, cache_l = apply_block(bp, carry, cfg, cos, sin, mask, cache_l, input_pos)
+            return y, cache_l
 
-        x, (new_k, new_v) = jax.lax.scan(body, x, (params["blocks"], kv_cache["k"], kv_cache["v"]))
-        new_cache = {"k": new_k, "v": new_v}
+        x, new_cache = jax.lax.scan(body, x, (params["blocks"], kv_cache))
     else:
 
         def body(carry, bp):
