@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import os
 import struct
-from pathlib import Path
 from typing import Iterator, List, Optional, Sequence
 
 import numpy as np

@@ -19,7 +19,6 @@ from the reference, driven by XLA's compilation model:
 from __future__ import annotations
 
 import time
-from functools import partial
 from typing import Optional
 
 import jax

@@ -25,7 +25,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.config import Config
-from ..models import gpt
 from ..models.tokenizer import Tokenizer
 from .engine import InferenceEngine
 
@@ -42,7 +41,7 @@ def load_and_prepare(
     fsdp: int = 1,
 ):
     """Load config+params (+finetuned deltas), quantize, shard."""
-    from ..utils.checkpoint import check_valid_checkpoint_dir, load_model_params
+    from ..utils.checkpoint import load_model_params
 
     checkpoint_dir = Path(checkpoint_dir)
     kw = {"attn_alg": attn_alg} if attn_alg else {}

@@ -43,8 +43,6 @@ rides the same 4-bit path with uniform int4 levels as the codebook.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -26,8 +26,6 @@ All specs account for the leading (n_layer,) stack axis of the scan layout.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

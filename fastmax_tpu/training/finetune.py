@@ -27,7 +27,6 @@ from ..models.config import Config
 from ..models import adapter as adapter_mod
 from ..models import gpt, lora as lora_mod
 from ..utils.args import EvalArgs, IOArgs, TrainArgs
-from ..utils.loss import cross_entropy
 from ..utils.logging import choose_logger
 from .fit import TrainState, build_optimizer, fit
 
@@ -40,8 +39,6 @@ def sft_loss_fn(cfg: Config, remat: bool = True, lm_head_chunk_size: int = 128):
     chunked_cross_entropy): the final hidden states go through the head in
     chunks so the fp32 (B, T, V) logits never materialize."""
     from ..utils.loss import chunked_cross_entropy
-    from ..ops.linear import linear
-    from ..ops.norms import apply_norm
 
     def loss_fn(params, batch):
         inputs, labels = batch

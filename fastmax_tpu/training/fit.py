@@ -24,7 +24,7 @@ import optax
 
 from ..models.config import Config
 from ..utils.args import EvalArgs, TrainArgs
-from ..utils.flops import estimate_flops, mfu
+from ..utils.flops import mfu
 from .step import make_loss_fn
 
 

@@ -11,11 +11,9 @@ checkpointing (finetune/lora.py:88-91).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
-import jax.numpy as jnp
 import optax
 
 from ..models.config import Config

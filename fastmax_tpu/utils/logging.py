@@ -9,7 +9,6 @@ and always works; the others engage when their packages exist.
 from __future__ import annotations
 
 import csv
-import json
 import time
 from pathlib import Path
 from typing import Optional
