@@ -87,16 +87,21 @@ class ContinuousBatcher:
         # the whole cache, and donating it would delete the live cache
         self._prefill = jax.jit(prefill)
 
-        def step(params, cache, tokens, positions, active, key, temperature, top_k_kth):
+        def step(params, cache, tokens, positions, active, key, temperature, top_k):
             logits, cache = gpt.forward(
                 params, cfg, tokens[:, None], input_pos=positions,
                 kv_cache=cache, rope_cache=self.rope,
             )
             logits = logits[:, -1, :].astype(jnp.float32)
             greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            # per-slot top-k threshold: the k-th largest logit of each row
+            v = logits.shape[-1]
+            asc = jnp.sort(logits, axis=-1)
+            idx = jnp.clip(v - top_k, 0, v - 1)
+            kth = jnp.take_along_axis(asc, idx[:, None], axis=1)[:, 0]
             gumbel = -jnp.log(-jnp.log(jax.random.uniform(key, logits.shape) + 1e-20) + 1e-20)
             sampled = jnp.argmax(
-                jnp.where(logits < top_k_kth[:, None], -jnp.inf, logits)
+                jnp.where(logits < kth[:, None], -jnp.inf, logits)
                 / jnp.maximum(temperature[:, None], 1e-6) + gumbel,
                 axis=-1,
             ).astype(jnp.int32)
@@ -159,16 +164,18 @@ class ContinuousBatcher:
             return {}
         tokens = np.zeros(self.n_slots, np.int32)
         temps = np.zeros(self.n_slots, np.float32)
-        kth = np.full(self.n_slots, -np.inf, np.float32)
+        topk = np.full(self.n_slots, self.cfg.padded_vocab_size, np.int32)
         for i, req in enumerate(self.slots):
             if req is not None:
                 tokens[i] = req.generated[-1]
                 temps[i] = req.temperature
+                if req.top_k:
+                    topk[i] = req.top_k
         self._key, sub = jax.random.split(self._key)
         nxt, self.cache = self._step(
             self.params, self.cache, jnp.asarray(tokens),
             jnp.asarray(self.positions), jnp.asarray(active), sub,
-            jnp.asarray(temps), jnp.asarray(kth),
+            jnp.asarray(temps), jnp.asarray(topk),
         )
         nxt = np.asarray(nxt)
         out: Dict[int, int] = {}

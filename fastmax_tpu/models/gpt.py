@@ -177,31 +177,54 @@ def apply_mlp(p: dict, x: jnp.ndarray, cfg: Config) -> jnp.ndarray:
     raise ValueError(name)
 
 
-def apply_moe(p: dict, x: jnp.ndarray, cfg: Config) -> jnp.ndarray:
-    """Mixtral-style top-k MoE (ref model.py:644-674).
+def apply_moe(p: dict, x: jnp.ndarray, cfg: Config, sorted_dispatch: bool = True) -> jnp.ndarray:
+    """Mixtral-style top-k MoE (ref model.py:644-674), dropless.
 
-    TPU-native dropless formulation: every expert runs densely over all
-    tokens and outputs are combined with the (sparse) router weights — all
-    static shapes, no gather/scatter. Efficient expert-parallel dispatch over
-    a mesh axis lives in parallel/ (sharding the stacked expert dimension).
+    Two TPU-native dispatch strategies, both static-shaped:
+
+    * sorted (default): token-expert pairs are sorted by expert id and each
+      expert processes its contiguous segment via ``lax.ragged_dot`` group
+      matmuls — FLOPs scale with k/n_expert like the reference's per-expert
+      gather loop, without its dynamic shapes.
+    * dense (fallback, also the grad-simple path): every expert runs over
+      all tokens, outputs combined by the sparse router weights.
     """
     b, t, c = x.shape
     xf = x.reshape(-1, c)
-    router = linear(p["gate"], xf)  # (N, n_expert)
-    probs, indices = jax.lax.top_k(router, cfg.n_expert_per_token)
+    n = xf.shape[0]
+    k = cfg.n_expert_per_token
+    e = cfg.n_expert
+    router = linear(p["gate"], xf)  # (N, E)
+    probs, indices = jax.lax.top_k(router, k)
     probs = jax.nn.softmax(probs.astype(jnp.float32), axis=-1).astype(x.dtype)
-    # combine weights: (N, n_expert), nonzero only at selected experts
-    combine = jnp.zeros((xf.shape[0], cfg.n_expert), x.dtype)
-    combine = jnp.take_along_axis(
-        combine, indices, axis=1
-    )  # placeholder to keep shape; real scatter below
-    one_hot = jax.nn.one_hot(indices, cfg.n_expert, dtype=x.dtype)  # (N, k, E)
-    combine = jnp.einsum("nk,nke->ne", probs, one_hot)
 
     ex = p["experts"]  # stacked on leading expert axis
+    has_bias = "bias" in ex["fc_1"]
+
+    if sorted_dispatch and not has_bias and hasattr(jax.lax, "ragged_dot"):
+        # ---- sorted segment dispatch (N*k rows, grouped by expert)
+        flat_expert = indices.reshape(-1)  # (N*k,)
+        order = jnp.argsort(flat_expert)
+        token_of = order // k  # source token of each sorted row
+        xs = xf[token_of]  # (N*k, C)
+        group_sizes = jnp.bincount(flat_expert, length=e)
+        w1 = ex["fc_1"]["kernel"].astype(x.dtype)  # (E, C, I)
+        w2 = ex["fc_2"]["kernel"].astype(x.dtype)
+        w3 = ex["proj"]["kernel"].astype(x.dtype)  # (E, I, C)
+        h = jax.nn.silu(jax.lax.ragged_dot(xs, w1, group_sizes)) * jax.lax.ragged_dot(
+            xs, w2, group_sizes
+        )
+        ys = jax.lax.ragged_dot(h, w3, group_sizes)  # (N*k, C)
+        weight = probs.reshape(-1)[order].astype(x.dtype)  # (N*k,)
+        out = jnp.zeros((n, c), ys.dtype).at[token_of].add(ys * weight[:, None])
+        return out.reshape(b, t, c).astype(x.dtype)
+
+    # ---- dense combine
+    one_hot = jax.nn.one_hot(indices, e, dtype=x.dtype)  # (N, k, E)
+    combine = jnp.einsum("nk,nke->ne", probs, one_hot)
     h1 = jnp.einsum("nc,eci->eni", xf, ex["fc_1"]["kernel"].astype(x.dtype))
     h2 = jnp.einsum("nc,eci->eni", xf, ex["fc_2"]["kernel"].astype(x.dtype))
-    if "bias" in ex["fc_1"]:
+    if has_bias:
         h1 = h1 + ex["fc_1"]["bias"][:, None, :]
         h2 = h2 + ex["fc_2"]["bias"][:, None, :]
     h = jax.nn.silu(h1) * h2

@@ -87,3 +87,19 @@ def test_throughput_batching_actually_batches(model):
     batcher._admit()
     out = batcher.step()
     assert len(out) == 4  # one token for each of the four slots
+
+
+def test_per_slot_top_k_restricts_sampling(model):
+    """top_k=1 with temperature>0 must equal greedy; unrestricted differs."""
+    cfg, params = model
+    prompt = np.arange(1, 11, dtype=np.int32)
+    ref = reference_greedy(cfg, params, prompt, 10)
+
+    batcher = ContinuousBatcher(cfg, params, n_slots=2, max_seq_length=128)
+    r1 = batcher.submit(prompt, 10, temperature=1.5, top_k=1)
+    r2 = batcher.submit(prompt, 10, temperature=1.5, top_k=None)
+    results = batcher.run_to_completion()
+    # top_k=1 sampling collapses to greedy regardless of temperature
+    assert results[r1] == ref
+    # ...while unrestricted hot sampling diverges from greedy
+    assert results[r2] != ref
