@@ -106,6 +106,16 @@ def attention(
     """
     scale = 1.0 / head_size ** 0.5
     if attn_alg == "quadratic":
+        t, s = q.shape[2], k.shape[2]
+        if mask is None and t == s and t >= 2048 and t % 512 == 0:
+            # long-context training/eval: blockwise attention with the
+            # flash-style custom VJP — O(T*block) memory instead of the
+            # dense (H, T, T) score tensor (ops/blockwise_attention.py)
+            from .blockwise_attention import blockwise_attention
+
+            kf = repeat_kv_heads(k, q.shape[1])
+            vf = repeat_kv_heads(v, q.shape[1])
+            return blockwise_attention(q, kf, vf, scale, 512)
         return scaled_dot_product_attention(
             q, k, v, mask=mask, scale=scale, is_causal=mask is None
         )
