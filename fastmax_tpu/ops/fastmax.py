@@ -187,6 +187,137 @@ def _masked_chunked(q, k, v, z: float, p: int, chunk: int, return_state: bool = 
     return o, state
 
 
+# ---------------------------------------------------------------------------
+# Memory-efficient custom VJP for the masked chunked scan.
+#
+# Autodiff through lax.scan stores every chunk's carried state
+# (O(N/C * d^3) for p=2 — the same blowup that pushed the reference to a
+# CUDA kernel). The state update is ADDITIVE, hence reversible:
+# S_{c-1} = S_c - U(k_c, v_c). The backward pass walks chunks in reverse
+# carrying (S, dS), rebuilding each previous state by subtraction and
+# applying the per-chunk VJP — total extra memory O(d^3), the reference's
+# reverse-cumsum trick (fastmax.py:562-567) done without any cumsum buffers.
+# ---------------------------------------------------------------------------
+
+
+def _chunk_forward(qi, ki, vi, state, z, p, causal, local_count):
+    """One chunk's output + updated state (shared by fwd and the bwd VJP).
+
+    qi/ki/vi: (B, H, C, D); state: the running-sum tuple.
+    """
+    b, h, c, d = qi.shape
+    cnt, s_v, s_kv, s_k, s_kkv, s_kk = state
+    s = jnp.einsum("bhid,bhjd->bhij", qi, ki) / z
+    fs = jnp.where(causal, _poly_weights(s, p), 0.0)
+    f_acc = jnp.einsum("bhij,bhjd->bhid", fs, vi)
+    g_acc = jnp.sum(fs, axis=-1)
+    f_acc = f_acc + s_v[:, :, None, :] + jnp.einsum("bhim,bhmj->bhij", qi, s_kv) / z
+    g_acc = g_acc + cnt[:, :, None] + jnp.einsum("bhim,bhm->bhi", qi, s_k) / z
+    if p == 2:
+        qq = jnp.einsum("bhim,bhil->bhiml", qi, qi).reshape(b, h, c, d * d)
+        f_acc = f_acc + jnp.einsum("bhix,bhxj->bhij", qq, s_kkv) / (2.0 * z * z)
+        g_acc = g_acc + jnp.einsum("bhix,bhx->bhi", qq, s_kk) / (2.0 * z * z)
+    o = f_acc / g_acc[..., None]
+    new_state = _state_add(state, _chunk_update(ki, vi, p), 1.0)
+    return o, new_state
+
+
+def _chunk_update(ki, vi, p):
+    b, h, c, d = ki.shape
+    upd = (
+        jnp.full((b, h), float(c), jnp.float32),
+        jnp.sum(vi, axis=-2),
+        jnp.einsum("bhnm,bhnj->bhmj", ki, vi),
+        jnp.sum(ki, axis=-2),
+    )
+    if p == 2:
+        kk = jnp.einsum("bhnm,bhnl->bhnml", ki, ki).reshape(b, h, c, d * d)
+        upd = upd + (jnp.einsum("bhnx,bhnj->bhxj", kk, vi), jnp.sum(kk, axis=-2))
+    else:
+        upd = upd + (jnp.zeros((b, h, 1, 1), jnp.float32), jnp.zeros((b, h, 1), jnp.float32))
+    return upd
+
+
+def _state_add(a, b_, sign):
+    return tuple(x + sign * y for x, y in zip(a, b_))
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _masked_chunked_vjp(q, k, v, z, p, chunk):
+    return _masked_chunked(q, k, v, z, p, chunk)
+
+
+def _mcv_fwd(q, k, v, z, p, chunk):
+    o = _masked_chunked(q, k, v, z, p, chunk)
+    # recompute the FINAL state once (cheap relative to the forward)
+    _, sd = _masked_chunked(q, k, v, z, p, chunk, return_state=True)
+    state = (sd["cnt"], sd["s_v"], sd["s_kv"], sd["s_k"], sd["s_kkv"], sd["s_kk"])
+    return o, (q, k, v, state)
+
+
+def _mcv_bwd(z, p, chunk, res, do):
+    q, k, v, final_state = res
+    b, h, n, d = q.shape
+    c = min(chunk, n)
+    n_pad = (-n) % c
+    if n_pad:
+        pad = [(0, 0), (0, 0), (0, n_pad), (0, 0)]
+        q = jnp.pad(q, pad)
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+        do = jnp.pad(do, pad)
+        # the stored final state already counts only real tokens; padded
+        # zero-token updates are zero except cnt, which we re-inflate so the
+        # reverse subtraction walks the same sequence of states
+        final_state = (final_state[0] + float(n_pad),) + tuple(final_state[1:])
+    n_chunks = (n + n_pad) // c
+
+    def to_chunks(x):
+        return x.reshape(b, h, n_chunks, c, d).transpose(2, 0, 1, 3, 4)
+
+    qc, kc, vc, doc = (to_chunks(x) for x in (q, k, v, do))
+    causal = jnp.tril(jnp.ones((c, c), dtype=bool))
+
+    def fwd_of_chunk(qi, ki, vi, state_prev):
+        o, _ = _chunk_forward(qi, ki, vi, state_prev, z, p, causal, None)
+        return o
+
+    def step(carry, inputs):
+        state_cur, d_state = carry  # state AFTER this chunk; dL/dS_cur
+        qi, ki, vi, doi = inputs
+        upd = _chunk_update(ki, vi, p)
+        state_prev = _state_add(state_cur, upd, -1.0)
+
+        # vjp through this chunk's output wrt (q, k, v, state_prev)
+        _, vjp_fn = jax.vjp(fwd_of_chunk, qi, ki, vi, state_prev)
+        dqi, dki, dvi, d_state_from_o = vjp_fn(doi)
+
+        # vjp of the state update S_cur = S_prev + U(k, v): U's contribution
+        def upd_fn(ki_, vi_):
+            return _chunk_update(ki_, vi_, p)
+
+        _, vjp_u = jax.vjp(upd_fn, ki, vi)
+        dki_u, dvi_u = vjp_u(d_state)
+        dki = dki + dki_u
+        dvi = dvi + dvi_u
+        d_state_prev = _state_add(d_state, d_state_from_o, 1.0)
+        return (state_prev, d_state_prev), (dqi, dki, dvi)
+
+    zero_dstate = tuple(jnp.zeros_like(s) for s in final_state)
+    (_, _), (dq_c, dk_c, dv_c) = jax.lax.scan(
+        step, (final_state, zero_dstate),
+        (qc, kc, vc, doc), reverse=True,
+    )
+
+    def from_chunks(x):
+        return x.transpose(1, 2, 0, 3, 4).reshape(b, h, n + n_pad, d)[:, :, :n, :]
+
+    return from_chunks(dq_c), from_chunks(dk_c), from_chunks(dv_c)
+
+
+_masked_chunked_vjp.defvjp(_mcv_fwd, _mcv_bwd)
+
+
 @partial(jax.jit, static_argnames=("mask", "normalize_term", "tensors_normalized", "p", "chunk"))
 def fastmax(q, k, v, mask: bool = True, normalize_term: float = 8.0,
             tensors_normalized: bool = False, p: int = 1,
@@ -204,7 +335,8 @@ def fastmax(q, k, v, mask: bool = True, normalize_term: float = 8.0,
     d = q.shape[-1]
     z = 1.0 if tensors_normalized else float(normalize_term) * math.sqrt(d)
     if mask:
-        o = _masked_chunked(q, k, v, z, p, chunk)
+        # custom VJP: reversible-state backward, O(d^3) memory (see above)
+        o = _masked_chunked_vjp(q, k, v, z, p, chunk)
     else:
         o = _unmasked_linear(q, k, v, z, p)
     return o.astype(dtype)

@@ -142,3 +142,47 @@ def test_fastmax_grad_matches_reference_grad(qkv, p):
     gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(gl, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-2, rtol=5e-2)
+
+
+@pytest.mark.parametrize("p", [1, 2])
+def test_custom_vjp_matches_scan_autodiff(p):
+    """The reversible-state backward == plain autodiff through the scan
+    (which stores every chunk state) on a longer sequence."""
+    from fastmax_tpu.ops.fastmax import _masked_chunked, _masked_chunked_vjp
+    import math
+
+    key = jax.random.PRNGKey(3)
+    b, h, n, d = 1, 2, 512, 16
+    q, k, v = (jax.random.normal(kk, (b, h, n, d)) for kk in jax.random.split(key, 3))
+    z = 8.0 * math.sqrt(d)
+    g = jax.random.normal(jax.random.PRNGKey(8), q.shape)
+
+    def loss_vjp(q, k, v):
+        return jnp.vdot(_masked_chunked_vjp(q, k, v, z, p, 64), g)
+
+    def loss_ad(q, k, v):
+        return jnp.vdot(_masked_chunked(q, k, v, z, p, 64), g)
+
+    gv = jax.grad(loss_vjp, argnums=(0, 1, 2))(q, k, v)
+    ga = jax.grad(loss_ad, argnums=(0, 1, 2))(q, k, v)
+    for a, b2, name in zip(gv, ga, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b2), atol=1e-4, rtol=1e-3,
+                                   err_msg=f"d{name}")
+
+
+def test_custom_vjp_ragged_tail_grads(qkv):
+    """N not divisible by chunk: padding correction in the backward."""
+    q, k, v = qkv
+    q, k, v = q[:1, :1, :100], k[:1, :1, :100], v[:1, :1, :100]
+    g = jax.random.normal(jax.random.PRNGKey(5), q.shape)
+
+    def loss_lin(q, k, v):
+        return jnp.vdot(fastmax(q, k, v, mask=True, p=2, chunk=32), g)
+
+    def loss_ref(q, k, v):
+        return jnp.vdot(polynomial_attention_reference(q, k, v, p=2, mask=True), g)
+
+    gl = jax.grad(loss_lin, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b2 in zip(gl, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b2), atol=5e-2, rtol=5e-2)
