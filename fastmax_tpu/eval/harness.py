@@ -48,6 +48,17 @@ class FastmaxLM:
             return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
 
         self._fwd = fwd
+        self._cached_engine = None
+
+    def _engine(self):
+        """One engine per LM (compiles the decode loop once, not per request)."""
+        if self._cached_engine is None:
+            from ..inference.engine import InferenceEngine
+
+            self._cached_engine = InferenceEngine(
+                self.cfg, self.params, max_seq_length=self.max_seq_length, batch_size=1
+            )
+        return self._cached_engine
 
     # -- lm-eval style interface ------------------------------------------
 
@@ -64,8 +75,13 @@ class FastmaxLM:
     def loglikelihood_tokens(self, context: List[int], continuation: List[int]) -> Tuple[float, bool]:
         """(sum logprob of continuation, is_greedy). Pads to a fixed bucket
         so XLA compiles a handful of shapes."""
+        if len(continuation) >= self.max_seq_length:
+            # keep at least one context token; score only the continuation
+            # tail that fits (standard lm-eval truncation semantics)
+            continuation = continuation[-(self.max_seq_length - 1):]
         tokens = (context + continuation)[-self.max_seq_length :]
         n_ctx = len(tokens) - len(continuation)
+        assert n_ctx >= 1, (len(tokens), len(continuation))
         # bucket to multiples of 64
         bucket = min(self.max_seq_length, ((len(tokens) + 63) // 64) * 64)
         pad = bucket - len(tokens)
@@ -88,11 +104,8 @@ class FastmaxLM:
         return out
 
     def greedy_until(self, prompt: str, max_new_tokens: int = 64, stop: Sequence[str] = ()) -> str:
-        from ..inference.engine import InferenceEngine
-
         enc = self.tokenizer.encode(prompt)[-self.max_seq_length + max_new_tokens :]
-        engine = InferenceEngine(self.cfg, self.params,
-                                 max_seq_length=self.max_seq_length, batch_size=1)
+        engine = self._engine()
         out = engine.generate(jnp.asarray(enc), len(enc) + max_new_tokens,
                               temperature=0.0, eos_id=self.tokenizer.eos_id)
         text = self.tokenizer.decode(np.asarray(out[0, len(enc):]))

@@ -171,11 +171,12 @@ class InferenceEngine:
 
     # ------------------------------------------------------------------ steps
 
-    def _model_step(self, params, tokens, cache, input_pos):
+    def _model_step(self, params, tokens, cache, input_pos, is_prefill=False):
         if self._linear_alg:
             return gpt.forward_linear_cache(
                 params, self.cfg, tokens,
                 state=cache, input_pos=input_pos, rope_cache=self.rope_cache,
+                is_prefill=is_prefill,
             )
         return gpt.forward(
             params, self.cfg, tokens,
@@ -183,7 +184,7 @@ class InferenceEngine:
         )
 
     def _prefill_impl(self, params, tokens, cache, input_pos):
-        logits, cache = self._model_step(params, tokens, cache, input_pos)
+        logits, cache = self._model_step(params, tokens, cache, input_pos, is_prefill=True)
         return logits[:, -1, :], cache
 
     def _decode_loop_impl(
@@ -197,7 +198,10 @@ class InferenceEngine:
 
         def cond(carry):
             i, _, _, _, done = carry
-            return (i < max_new - 1) & ~done
+            # run until every row has emitted eos (or the budget is spent);
+            # finished rows keep decoding but their output is truncated at
+            # their own eos on the host side
+            return (i < max_new - 1) & ~jnp.all(done)
 
         def body(carry):
             i, cache, tokens, key, done = carry
@@ -207,11 +211,15 @@ class InferenceEngine:
             key, sub = jax.random.split(key)
             nxt = sample(logits[:, -1, :], sub, temperature, top_k)
             tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, i + 1))
-            done = jnp.any(nxt == eos_id) if eos_id is not None else jnp.asarray(False)
+            if eos_id is not None:
+                done = done | (nxt == eos_id)
             return i + 1, cache, tokens, key, done
 
+        done0 = (
+            first_token == eos_id if eos_id is not None else jnp.zeros((b,), bool)
+        )
         n, cache, tokens, _, _ = jax.lax.while_loop(
-            cond, body, (jnp.asarray(0), cache, tokens, key, jnp.asarray(False))
+            cond, body, (jnp.asarray(0), cache, tokens, key, done0)
         )
         return tokens, n + 1, cache
 
@@ -253,8 +261,10 @@ class InferenceEngine:
         )
         n = int(n)
         out = jnp.concatenate([prompt, gen_tokens[:, :n]], axis=1)
-        if eos_id is not None:
-            # truncate batch-1 output at the eos token (ref behavior)
+        if eos_id is not None and b == 1:
+            # truncate batch-1 output at the eos token (ref behavior); for
+            # b > 1 rows finish at different lengths — the caller slices
+            # each row at its own eos
             arr = jax.device_get(out[0])
             hits = (arr[t:] == eos_id).nonzero()[0]
             if hits.size:

@@ -116,8 +116,14 @@ def main(
     tp: int = 1,
     fsdp: int = 1,
     seed: int = 1234,
+    weights_mode: str = "auto",
+    kv_cache_dtype: Optional[str] = None,
 ) -> None:
-    """Generate text samples from a checkpoint (ref generate/base.py:96-187)."""
+    """Generate text samples from a checkpoint (ref generate/base.py:96-187).
+
+    weights_mode: quantized|preload|auto (see InferenceEngine);
+    kv_cache_dtype: e.g. int8 for the quantized KV cache, bfloat16, ...
+    """
     cfg, params = load_and_prepare(
         checkpoint_dir, quantize=quantize, attn_alg=attn_alg,
         finetuned_path=finetuned_path, method=method, precision=precision,
@@ -132,7 +138,11 @@ def main(
     prompt_len = len(encoded)
     max_returned = prompt_len + max_new_tokens
 
-    engine = InferenceEngine(cfg, params, max_seq_length=max_returned, batch_size=1)
+    engine = InferenceEngine(
+        cfg, params, max_seq_length=max_returned, batch_size=1,
+        weights_mode=weights_mode,
+        cache_dtype=getattr(jnp, kv_cache_dtype) if kv_cache_dtype else None,
+    )
     print(f"model {cfg.name}: attn_alg={cfg.attn_alg}"
           + (f", quantized {quantize}" if quantize else ""), file=sys.stderr)
 

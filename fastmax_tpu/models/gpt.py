@@ -548,11 +548,13 @@ def forward_linear_cache(
     input_pos,
     rope_cache=None,
     max_seq_length: Optional[int] = None,
+    is_prefill: Optional[bool] = None,
 ):
     """Forward with the linear-attention running-state cache.
 
-    input_pos == 0 with T tokens: prefill (resets the state).
-    T == 1 with scalar input_pos: one decode step.
+    is_prefill=True: process T tokens against a fresh state (the engine
+    passes this explicitly so a 1-token prompt still prefils — T > 1 is
+    only the default heuristic). is_prefill=False: one decode step (T == 1).
     Returns (logits, new_state).
     """
     b, t = idx.shape
@@ -564,7 +566,8 @@ def forward_linear_cache(
     zero = jnp.zeros_like(input_pos)
     cos = jax.lax.dynamic_slice(rope_cos, (input_pos, zero), (t, cfg.rope_n_elem))
     sin = jax.lax.dynamic_slice(rope_sin, (input_pos, zero), (t, cfg.rope_n_elem))
-    is_prefill = t > 1
+    if is_prefill is None:
+        is_prefill = t > 1
 
     x = embedding(params["wte"], idx)
     if cfg.scale_embeddings:

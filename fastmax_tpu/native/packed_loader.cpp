@@ -118,6 +118,11 @@ struct Loader {
       case 1:
         for (int64_t i = 0; i < block_size; ++i) out[i] = src[i];
         break;
+      case 2: {
+        const int8_t* s = reinterpret_cast<const int8_t*>(src);
+        for (int64_t i = 0; i < block_size; ++i) out[i] = s[i];
+        break;
+      }
       case 8: {
         const uint16_t* s = reinterpret_cast<const uint16_t*>(src);
         for (int64_t i = 0; i < block_size; ++i) out[i] = s[i];

@@ -248,9 +248,8 @@ def _masked_chunked_vjp(q, k, v, z, p, chunk):
 
 
 def _mcv_fwd(q, k, v, z, p, chunk):
-    o = _masked_chunked(q, k, v, z, p, chunk)
-    # recompute the FINAL state once (cheap relative to the forward)
-    _, sd = _masked_chunked(q, k, v, z, p, chunk, return_state=True)
+    # one scan produces both the outputs and the final state
+    o, sd = _masked_chunked(q, k, v, z, p, chunk, return_state=True)
     state = (sd["cnt"], sd["s_v"], sd["s_kv"], sd["s_k"], sd["s_kkv"], sd["s_kk"])
     return o, (q, k, v, state)
 

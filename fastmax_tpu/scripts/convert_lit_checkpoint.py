@@ -82,9 +82,11 @@ def convert_lit_checkpoint(
         hf_tmpl = inv.get(template)
         if hf_tmpl is None:
             continue
-        hf_name = hf_tmpl.format(layer) if layer is not None else hf_tmpl
+        # resolve the named {e} field BEFORE positional .format (mixing
+        # auto-numbered and named fields raises KeyError)
         if expert is not None:
-            hf_name = hf_name.replace("{e}", expert)
+            hf_tmpl = hf_tmpl.replace("{e}", expert)
+        hf_name = hf_tmpl.format(layer) if layer is not None else hf_tmpl
         if lit_name == "lm_head.weight":
             untied_lm_head = True
         out[hf_name] = arr

@@ -51,19 +51,25 @@ def prepare(
     destination_path.mkdir(parents=True, exist_ok=True)
     tokenizer = Tokenizer(Path(checkpoint_dir))
 
+    # uint16 only fits vocabularies below 65500 (the PackedDatasetBuilder
+    # rule); larger vocabs (e.g. Gemma's 256k) must use int32
+    dtype = np.uint16 if tokenizer.vocab_size < 65500 else np.int32
     all_tokens = []
     for text in _iter_texts(source):
         if not text:
             continue
         toks = tokenizer.encode(text, bos=False, eos=True)
-        all_tokens.append(np.asarray(toks, np.uint16))
+        all_tokens.append(np.asarray(toks, dtype))
     stream = np.concatenate(all_tokens)
     n_val = max(int(len(stream) * test_size), 1)
     splits = {"train": stream[:-n_val], "val": stream[-n_val:]}
     for name, arr in splits.items():
         out = destination_path / f"{name}.bin"
-        arr.astype(np.uint16).tofile(out)
-        print(f"{name}: {len(arr):,} tokens -> {out}")
+        arr.astype(dtype).tofile(out)
+        print(f"{name}: {len(arr):,} tokens ({np.dtype(dtype).name}) -> {out}")
+    (destination_path / "meta.json").write_text(
+        json.dumps({"dtype": np.dtype(dtype).name, "vocab_size": tokenizer.vocab_size})
+    )
 
 
 def main() -> None:

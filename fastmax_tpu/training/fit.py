@@ -14,6 +14,7 @@ reference collapses into pure dataflow.
 from __future__ import annotations
 
 import time
+from functools import partial
 from pathlib import Path
 from typing import Callable, Iterator, Optional
 
@@ -99,7 +100,9 @@ def fit(
     loss_fn = loss_fn or make_loss_fn(cfg, remat=remat)
     grad_accum = train.gradient_accumulation_iters()
 
-    @jax.jit
+    # donate the grads buffer: XLA accumulates in place, so gradient
+    # accumulation holds one model-sized grads copy, not two
+    @partial(jax.jit, donate_argnums=(1,))
     def accum_step(params, grads, batch):
         loss, g = value_and_grad_floats(loss_fn, params, batch)
         grads = jax.tree.map(lambda a, b: a + b, grads, g)

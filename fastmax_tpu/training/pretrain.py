@@ -40,9 +40,24 @@ def data_iterators(data_format: str, io: IOArgs, block_size: int, batch_size: in
     from ..data.lm_datasets import Enwik8Dataset, MemmapDataset
 
     if data_format == "openwebtext":
-        train_ds = MemmapDataset(Path(io.train_data_dir) / "train.bin", block_size, seed)
+        import json as _json
+
+        data_dir = Path(io.train_data_dir)
+        # prepare_openwebtext writes meta.json with the token dtype (int32
+        # for >64k vocabularies); plain nanoGPT dirs default to uint16
+        meta = data_dir / "meta.json"
+        dtype = "uint16"
+        if meta.is_file():
+            dtype = _json.loads(meta.read_text()).get("dtype", "uint16")
+        import numpy as _np
+
+        train_ds = MemmapDataset(data_dir / "train.bin", block_size, seed,
+                                 dtype=getattr(_np, dtype))
         val_path = Path(io.val_data_dir or io.train_data_dir) / "val.bin"
-        val_ds = MemmapDataset(val_path, block_size, seed + 1) if val_path.exists() else None
+        val_ds = (
+            MemmapDataset(val_path, block_size, seed + 1, dtype=getattr(_np, dtype))
+            if val_path.exists() else None
+        )
     elif data_format == "enwik8":
         src = Path(io.train_data_dir)
         src = src / "enwik8.gz" if src.is_dir() else src

@@ -18,18 +18,26 @@ class CSVLogger:
     def __init__(self, out_dir: Path, name: str = "metrics"):
         self.path = Path(out_dir) / f"{name}.csv"
         self.path.parent.mkdir(parents=True, exist_ok=True)
-        self._fieldnames = None
+        self._fieldnames: list = []
+        self._rows: list = []
 
     def log_dict(self, metrics: dict, step: int) -> None:
-        metrics = {"step": step, "time": time.time(), **metrics}
-        write_header = self._fieldnames is None or not self.path.exists()
-        if self._fieldnames is None:
-            self._fieldnames = list(metrics)
-        with open(self.path, "a", newline="") as f:
-            w = csv.DictWriter(f, fieldnames=self._fieldnames, extrasaction="ignore")
-            if write_header:
+        row = {"step": step, "time": time.time(), **metrics}
+        # the field set can grow mid-run (e.g. val_loss appears at the first
+        # eval interval) — rewrite the file with the expanded header so no
+        # metric is silently dropped
+        new_fields = [k for k in row if k not in self._fieldnames]
+        self._rows.append(row)
+        if new_fields:
+            self._fieldnames.extend(new_fields)
+            with open(self.path, "w", newline="") as f:
+                w = csv.DictWriter(f, fieldnames=self._fieldnames)
                 w.writeheader()
-            w.writerow(metrics)
+                w.writerows(self._rows)
+        else:
+            with open(self.path, "a", newline="") as f:
+                w = csv.DictWriter(f, fieldnames=self._fieldnames)
+                w.writerow(row)
 
     def finalize(self) -> None:
         pass
