@@ -63,7 +63,15 @@ class ContinuousBatcher:
             self.max_seq_length, cfg.rope_n_elem, cfg.rope_base, cfg.rope_condense_ratio
         )
         dtype = params["wte"].dtype
-        self.cache = gpt.init_kv_cache(cfg, n_slots, self.max_seq_length, dtype)
+        self._linear_alg = cfg.attn_alg in ("fastmax", "fastmax_cuda", "linearmax", "performer")
+        if self._linear_alg:
+            # O(1)-state slots: one running linear-attention state per slot.
+            # NOTE: linear-state prefill must see the EXACT prompt (padding
+            # tokens would be absorbed into the running sums), so prefill
+            # compiles per distinct prompt length instead of per bucket.
+            self.cache = gpt.init_linear_cache(cfg, n_slots)
+        else:
+            self.cache = gpt.init_kv_cache(cfg, n_slots, self.max_seq_length, dtype)
         self.positions = np.zeros(n_slots, np.int32)  # next write position
         self.slots: List[Optional[Request]] = [None] * n_slots
         self.queue: List[Request] = []
@@ -87,11 +95,26 @@ class ContinuousBatcher:
         # the whole cache, and donating it would delete the live cache
         self._prefill = jax.jit(prefill)
 
-        def step(params, cache, tokens, positions, active, key, temperature, top_k):
-            logits, cache = gpt.forward(
-                params, cfg, tokens[:, None], input_pos=positions,
-                kv_cache=cache, rope_cache=self.rope,
+        def prefill_linear(params, tokens, state_row):
+            logits, state_row = gpt.forward_linear_cache(
+                params, cfg, tokens, state=state_row, input_pos=0,
+                rope_cache=self.rope, is_prefill=True,
             )
+            return logits[:, -1], state_row
+
+        self._prefill_linear = jax.jit(prefill_linear)
+
+        def step(params, cache, tokens, positions, active, key, temperature, top_k):
+            if self._linear_alg:
+                logits, cache = gpt.forward_linear_cache(
+                    params, cfg, tokens[:, None], state=cache,
+                    input_pos=positions, rope_cache=self.rope, is_prefill=False,
+                )
+            else:
+                logits, cache = gpt.forward(
+                    params, cfg, tokens[:, None], input_pos=positions,
+                    kv_cache=cache, rope_cache=self.rope,
+                )
             logits = logits[:, -1, :].astype(jnp.float32)
             greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             # per-slot top-k threshold: the k-th largest logit of each row
@@ -126,19 +149,28 @@ class ContinuousBatcher:
             if self.slots[slot] is None and self.queue:
                 req = self.queue.pop(0)
                 t = len(req.prompt)
-                bucket = min(
-                    self.max_seq_length,
-                    ((t + self.prefill_bucket - 1) // self.prefill_bucket) * self.prefill_bucket,
-                )
-                padded = np.zeros(bucket, np.int32)
-                padded[:t] = req.prompt[:bucket]
-                k_row = self.cache["k"][:, slot : slot + 1]
-                v_row = self.cache["v"][:, slot : slot + 1]
-                last, k_row, v_row = self._prefill(
-                    self.params, jnp.asarray(padded)[None], jnp.asarray(t), k_row, v_row
-                )
-                self.cache["k"] = self.cache["k"].at[:, slot : slot + 1].set(k_row)
-                self.cache["v"] = self.cache["v"].at[:, slot : slot + 1].set(v_row)
+                if self._linear_alg:
+                    state_row = gpt.init_linear_cache(self.cfg, 1)
+                    toks = jnp.asarray(req.prompt[: self.max_seq_length], jnp.int32)[None]
+                    last, state_row = self._prefill_linear(self.params, toks, state_row)
+                    for key_ in self.cache:
+                        self.cache[key_] = (
+                            self.cache[key_].at[:, slot : slot + 1].set(state_row[key_])
+                        )
+                else:
+                    bucket = min(
+                        self.max_seq_length,
+                        ((t + self.prefill_bucket - 1) // self.prefill_bucket) * self.prefill_bucket,
+                    )
+                    padded = np.zeros(bucket, np.int32)
+                    padded[:t] = req.prompt[:bucket]
+                    k_row = self.cache["k"][:, slot : slot + 1]
+                    v_row = self.cache["v"][:, slot : slot + 1]
+                    last, k_row, v_row = self._prefill(
+                        self.params, jnp.asarray(padded)[None], jnp.asarray(t), k_row, v_row
+                    )
+                    self.cache["k"] = self.cache["k"].at[:, slot : slot + 1].set(k_row)
+                    self.cache["v"] = self.cache["v"].at[:, slot : slot + 1].set(v_row)
                 self._key, sub = jax.random.split(self._key)
                 first = int(sample(last[0], sub, req.temperature, req.top_k))
                 req.generated.append(first)

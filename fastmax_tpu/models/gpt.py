@@ -563,9 +563,18 @@ def forward_linear_cache(
         rope_cache = build_rope_cache(n, cfg.rope_n_elem, cfg.rope_base, cfg.rope_condense_ratio)
     rope_cos, rope_sin = rope_cache
     input_pos = jnp.asarray(input_pos, jnp.int32)
-    zero = jnp.zeros_like(input_pos)
-    cos = jax.lax.dynamic_slice(rope_cos, (input_pos, zero), (t, cfg.rope_n_elem))
-    sin = jax.lax.dynamic_slice(rope_sin, (input_pos, zero), (t, cfg.rope_n_elem))
+    if input_pos.ndim == 1:
+        # per-slot decode positions (continuous batching): T == 1
+        if t != 1:
+            raise ValueError("vector input_pos requires single-token decode")
+        cos = rope_cos[input_pos][:, None, None, :]  # (B, 1, 1, nre)
+        sin = rope_sin[input_pos][:, None, None, :]
+        if is_prefill is None:
+            is_prefill = False
+    else:
+        zero = jnp.zeros_like(input_pos)
+        cos = jax.lax.dynamic_slice(rope_cos, (input_pos, zero), (t, cfg.rope_n_elem))
+        sin = jax.lax.dynamic_slice(rope_sin, (input_pos, zero), (t, cfg.rope_n_elem))
     if is_prefill is None:
         is_prefill = t > 1
 

@@ -103,3 +103,32 @@ def test_per_slot_top_k_restricts_sampling(model):
     assert results[r1] == ref
     # ...while unrestricted hot sampling diverges from greedy
     assert results[r2] != ref
+
+
+def test_linear_alg_continuous_batching(model):
+    """Slotted linear-attention states: fastmax requests decode via O(1)
+    running state per slot and match the single-stream engine."""
+    cfg0, params = model
+    from fastmax_tpu.models.config import Config
+
+    cfg = Config(**{**{f: getattr(cfg0, f) for f in (
+        "name", "block_size", "vocab_size", "padded_vocab_size", "n_layer",
+        "n_head", "n_embd", "n_query_groups", "rotary_percentage",
+        "parallel_residual", "bias", "_norm_class", "_mlp_class",
+        "intermediate_size")}, "attn_alg": "fastmax"})
+
+    p1 = np.arange(1, 11, dtype=np.int32)
+    p2 = np.arange(20, 31, dtype=np.int32)
+
+    def solo(prompt):
+        eng = InferenceEngine(cfg, params, max_seq_length=128, batch_size=1)
+        out = eng.generate(jnp.asarray(prompt), len(prompt) + 6, temperature=0.0,
+                           key=jax.random.PRNGKey(9))
+        return np.asarray(out[0, len(prompt):]).tolist()
+
+    batcher = ContinuousBatcher(cfg, params, n_slots=2, max_seq_length=128)
+    r1 = batcher.submit(p1, 6, temperature=0.0)
+    r2 = batcher.submit(p2, 6, temperature=0.0)
+    results = batcher.run_to_completion()
+    assert results[r1] == solo(p1)
+    assert results[r2] == solo(p2)
