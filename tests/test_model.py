@@ -109,3 +109,26 @@ def test_forward_is_jittable_and_grads_flow():
     assert all(np.isfinite(np.asarray(g)).all() for g in flat)
     # every parameter receives gradient signal somewhere
     assert any(float(jnp.max(jnp.abs(g))) > 0 for g in flat)
+
+
+def test_every_registry_entry_constructs():
+    """All 103 registry entries build a valid Config (derived fields and
+    attn_alg validation included) — the from_name surface of the whole
+    model zoo."""
+    from fastmax_tpu.models.config import available_models, Config
+
+    names = available_models()
+    assert len(names) >= 100
+    for name in names:
+        cfg = Config.from_name(name)
+        assert cfg.head_size > 0 and cfg.padded_vocab_size >= cfg.vocab_size
+        assert cfg.n_head % cfg.n_query_groups == 0
+        assert cfg.intermediate_size > 0
+
+
+def test_from_name_by_hf_name():
+    from fastmax_tpu.models.config import Config
+
+    cfg = Config.from_name("pythia-70m")
+    cfg2 = Config.from_name(cfg.hf_config["name"])
+    assert cfg2.n_layer == cfg.n_layer
