@@ -95,12 +95,18 @@ class ContinuousBatcher:
         # the whole cache, and donating it would delete the live cache
         self._prefill = jax.jit(prefill)
 
-        def prefill_linear(params, tokens, state_row):
+        def prefill_linear(params, tokens, n_valid, state_row):
+            # bucketed prompt: rows >= n_valid are masked out of the running
+            # sums inside the forward, so one compile serves all lengths in
+            # the bucket
             logits, state_row = gpt.forward_linear_cache(
                 params, cfg, tokens, state=state_row, input_pos=0,
-                rope_cache=self.rope, is_prefill=True,
+                rope_cache=self.rope, is_prefill=True, n_valid=n_valid,
             )
-            return logits[:, -1], state_row
+            last = jnp.take_along_axis(
+                logits, (n_valid - 1)[None, None, None].astype(jnp.int32), axis=1
+            )[:, 0]
+            return last, state_row
 
         self._prefill_linear = jax.jit(prefill_linear)
 
@@ -151,8 +157,15 @@ class ContinuousBatcher:
                 t = len(req.prompt)
                 if self._linear_alg:
                     state_row = gpt.init_linear_cache(self.cfg, 1)
-                    toks = jnp.asarray(req.prompt[: self.max_seq_length], jnp.int32)[None]
-                    last, state_row = self._prefill_linear(self.params, toks, state_row)
+                    bucket = min(
+                        self.max_seq_length,
+                        ((t + self.prefill_bucket - 1) // self.prefill_bucket) * self.prefill_bucket,
+                    )
+                    padded = np.zeros(bucket, np.int32)
+                    padded[:t] = req.prompt[:bucket]
+                    last, state_row = self._prefill_linear(
+                        self.params, jnp.asarray(padded)[None], jnp.asarray(t), state_row
+                    )
                     for key_ in self.cache:
                         self.cache[key_] = (
                             self.cache[key_].at[:, slot : slot + 1].set(state_row[key_])

@@ -351,9 +351,15 @@ def apply_attn(
     return linear(p["proj"], y), new_cache
 
 
-def apply_block(bp, x, cfg, cos, sin, mask, kv_cache, input_pos):
+def apply_block(bp, x, cfg, cos, sin, mask, kv_cache, input_pos, attn_fn=None):
+    """One transformer block. ``attn_fn(attn_params, n1) -> (h, new_cache)``
+    overrides the attention computation (used by the sequence-parallel mode
+    to substitute ring attention while sharing the residual/MLP wiring)."""
     n1 = apply_norm(x, bp["norm_1"], cfg.norm_class_name, cfg.norm_eps, cfg.add_unit_offset)
-    h, new_cache = apply_attn(bp["attn"], n1, cfg, cos, sin, mask, kv_cache, input_pos)
+    if attn_fn is not None:
+        h, new_cache = attn_fn(bp["attn"], n1)
+    else:
+        h, new_cache = apply_attn(bp["attn"], n1, cfg, cos, sin, mask, kv_cache, input_pos)
     if cfg.parallel_residual:
         n2 = n1 if cfg.shared_attention_norm else apply_norm(
             x, bp["norm_2"], cfg.norm_class_name, cfg.norm_eps, cfg.add_unit_offset
@@ -481,10 +487,14 @@ def init_linear_cache(cfg: Config, batch_size: int) -> dict:
     return state
 
 
-def _attn_linear_state(p, x, cfg, cos, sin, state, is_prefill):
+def _attn_linear_state(p, x, cfg, cos, sin, state, is_prefill, n_valid=None):
     """Attention through the running linear-attention state.
 
     state: per-layer slice (no leading L axis). Returns (out, new_state).
+    ``n_valid`` (traced, prefill only): tokens at positions >= n_valid are
+    padding — their q/k/v are zeroed so they contribute nothing to the
+    running sums (enables bucketed prefill shapes; cnt is corrected by the
+    caller).
     """
     from ..ops import fastmax as fm
     from ..ops.attention import repeat_kv_heads
@@ -502,6 +512,11 @@ def _attn_linear_state(p, x, cfg, cos, sin, state, is_prefill):
     k = k.at[..., :nre].set(apply_rope(k[..., :nre], cos, sin)) if nre < hs else apply_rope(k, cos, sin)
     k = repeat_kv_heads(k, cfg.n_head)
     v = repeat_kv_heads(v, cfg.n_head)
+    if n_valid is not None:
+        valid = (jnp.arange(t) < n_valid)[None, None, :, None]
+        q = jnp.where(valid, q, 0.0)
+        k = jnp.where(valid, k, 0.0)
+        v = jnp.where(valid, v, 0.0)
 
     alg = cfg.attn_alg
     pdeg = 2 if alg in ("fastmax", "fastmax_cuda") else 1
@@ -549,6 +564,7 @@ def forward_linear_cache(
     rope_cache=None,
     max_seq_length: Optional[int] = None,
     is_prefill: Optional[bool] = None,
+    n_valid=None,
 ):
     """Forward with the linear-attention running-state cache.
 
@@ -585,7 +601,8 @@ def forward_linear_cache(
     def body(carry, scanned):
         bp, st = scanned
         n1 = apply_norm(carry, bp["norm_1"], cfg.norm_class_name, cfg.norm_eps, cfg.add_unit_offset)
-        h, st = _attn_linear_state(bp["attn"], n1, cfg, cos, sin, st, is_prefill)
+        h, st = _attn_linear_state(bp["attn"], n1, cfg, cos, sin, st, is_prefill,
+                                   n_valid if is_prefill else None)
         if cfg.parallel_residual:
             n2 = n1 if cfg.shared_attention_norm else apply_norm(
                 carry, bp["norm_2"], cfg.norm_class_name, cfg.norm_eps, cfg.add_unit_offset
@@ -598,6 +615,11 @@ def forward_linear_cache(
         return y, st
 
     x, new_state = jax.lax.scan(body, x, (params["blocks"], state))
+    if is_prefill and n_valid is not None:
+        # padded tokens contributed nothing to the sums, but the chunk
+        # counter ran over the full bucket — set it to the true length
+        new_state = {**new_state,
+                     "cnt": jnp.full_like(new_state["cnt"], 1.0) * jnp.asarray(n_valid, jnp.float32)}
     x = apply_norm(x, params["ln_f"], cfg.norm_class_name, cfg.norm_eps, cfg.add_unit_offset)
     return linear(params["lm_head"], x), new_state
 

@@ -107,14 +107,21 @@ def attention(
     scale = 1.0 / head_size ** 0.5
     if attn_alg == "quadratic":
         t, s = q.shape[2], k.shape[2]
-        if mask is None and t == s and t >= 2048 and t % 512 == 0:
+        if mask is None and t == s and t >= 2048:
             # long-context training/eval: blockwise attention with the
             # flash-style custom VJP — O(T*block) memory instead of the
-            # dense (H, T, T) score tensor (ops/blockwise_attention.py)
+            # dense (H, T, T) score tensor. Non-multiple lengths pad with
+            # tail tokens that, being causal, never influence real rows.
             from .blockwise_attention import blockwise_attention
 
             kf = repeat_kv_heads(k, q.shape[1])
             vf = repeat_kv_heads(v, q.shape[1])
+            pad = (-t) % 512
+            if pad:
+                qp, kp, vp = (
+                    jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0))) for x in (q, kf, vf)
+                )
+                return blockwise_attention(qp, kp, vp, scale, 512)[:, :, :t]
             return blockwise_attention(q, kf, vf, scale, 512)
         return scaled_dot_product_attention(
             q, k, v, mask=mask, scale=scale, is_causal=mask is None

@@ -71,17 +71,10 @@ def sp_forward_local(params, cfg: Config, idx_local, rope_cache, axis_name: str)
         x = x * (cfg.n_embd ** 0.5)
 
     def body(carry, bp):
-        n1 = apply_norm(carry, bp["norm_1"], cfg.norm_class_name, cfg.norm_eps, cfg.add_unit_offset)
-        h = _sp_attn(bp["attn"], n1, cfg, cos, sin, axis_name)
-        if cfg.parallel_residual:
-            n2 = n1 if cfg.shared_attention_norm else apply_norm(
-                carry, bp["norm_2"], cfg.norm_class_name, cfg.norm_eps, cfg.add_unit_offset
-            )
-            y = gpt.apply_mlp(bp["mlp"], n2, cfg) + h + carry
-        else:
-            y = h + carry
-            n2 = apply_norm(y, bp["norm_2"], cfg.norm_class_name, cfg.norm_eps, cfg.add_unit_offset)
-            y = gpt.apply_mlp(bp["mlp"], n2, cfg) + y
+        y, _ = gpt.apply_block(
+            bp, carry, cfg, cos, sin, None, None, None,
+            attn_fn=lambda ap, n1: (_sp_attn(ap, n1, cfg, cos, sin, axis_name), None),
+        )
         return y, None
 
     x, _ = jax.lax.scan(body, x, params["blocks"])
@@ -89,9 +82,20 @@ def sp_forward_local(params, cfg: Config, idx_local, rope_cache, axis_name: str)
     return linear(params["lm_head"], x)
 
 
+def _check_attn_alg(cfg: Config) -> None:
+    if cfg.attn_alg != "quadratic":
+        raise ValueError(
+            f"sequence-parallel mode implements softmax (quadratic) attention; "
+            f"cfg.attn_alg={cfg.attn_alg!r}. The linear attention algorithms "
+            "shard over sequence through their associative scan instead "
+            "(ops/fastmax.py) — train them with the standard sharded step."
+        )
+
+
 def make_sp_forward(cfg: Config, mesh: Mesh, *, axis: str = "model",
                     max_seq_length: Optional[int] = None):
     """jitted (params, idx (B, T)) -> logits with T sharded over ``axis``."""
+    _check_attn_alg(cfg)
     n = max_seq_length or cfg.block_size
     rope_cache = build_rope_cache(n, cfg.rope_n_elem, cfg.rope_base, cfg.rope_condense_ratio)
     seq_spec = P(None, axis)
@@ -117,6 +121,7 @@ def make_sp_loss_fn(cfg: Config, mesh: Mesh, *, axis: str = "model",
     each shard needs the NEXT shard's first token as its target, handled by
     a ppermute shift of the targets inside shard_map.
     """
+    _check_attn_alg(cfg)
     n = max_seq_length or cfg.block_size
     rope_cache = build_rope_cache(n, cfg.rope_n_elem, cfg.rope_base, cfg.rope_condense_ratio)
 

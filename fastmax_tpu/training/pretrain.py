@@ -53,9 +53,14 @@ def data_iterators(data_format: str, io: IOArgs, block_size: int, batch_size: in
 
         train_ds = MemmapDataset(data_dir / "train.bin", block_size, seed,
                                  dtype=getattr(_np, dtype))
-        val_path = Path(io.val_data_dir or io.train_data_dir) / "val.bin"
+        val_dir = Path(io.val_data_dir or io.train_data_dir)
+        val_dtype = dtype
+        val_meta = val_dir / "meta.json"
+        if val_meta.is_file():
+            val_dtype = _json.loads(val_meta.read_text()).get("dtype", "uint16")
+        val_path = val_dir / "val.bin"
         val_ds = (
-            MemmapDataset(val_path, block_size, seed + 1, dtype=getattr(_np, dtype))
+            MemmapDataset(val_path, block_size, seed + 1, dtype=getattr(_np, val_dtype))
             if val_path.exists() else None
         )
     elif data_format == "enwik8":
