@@ -53,9 +53,12 @@ class ContinuousBatcher:
         n_slots: int = 4,
         max_seq_length: Optional[int] = None,
         prefill_bucket: int = 128,
+        weights_mode: str = "auto",
     ):
+        from .engine import InferenceEngine
+
         self.cfg = cfg
-        self.params = params
+        self.params = params = InferenceEngine._resolve_weights(params, weights_mode)
         self.n_slots = n_slots
         self.max_seq_length = min(max_seq_length or cfg.block_size, cfg.block_size)
         self.prefill_bucket = prefill_bucket

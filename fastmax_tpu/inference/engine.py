@@ -89,11 +89,17 @@ class InferenceEngine:
         weights_mode: str = "auto",
     ):
         """weights_mode (for quantized params):
-        "quantized"  keep packed weights, dequantize inside each matmul
-                     (fused Pallas or XLA path, autotuned);
-        "preload"    dequantize once to the activation dtype at init —
-                     dense-bandwidth decode at a 4x HBM footprint;
-        "auto"       preload iff the dense model fits comfortably in HBM.
+        "quantized"     keep packed weights, dequantize inside each matmul
+                        (fused Pallas or XLA path, autotuned);
+        "preload"       dequantize once to the activation dtype at init —
+                        dense-bandwidth decode at a 4x HBM footprint,
+                        bit-exact 4-bit numerics;
+        "preload_int8"  re-represent 4-bit linears as dense per-channel
+                        int8 at init; decode streams int8 straight into the
+                        MXU (fused convert) — ~1.5-1.9x faster than the
+                        bf16 HBM ceiling at +~0.4% weight error;
+        "auto"          int8 models stay native (that IS the fast path);
+                        4-bit models preload to int8 when they fit in HBM.
         """
         self.cfg = cfg
         params = self._resolve_weights(params, weights_mode)
@@ -122,10 +128,10 @@ class InferenceEngine:
         from ..ops import quant
 
         leaves = jax.tree_util.tree_flatten_with_path(params)[0]
-        has_quant = any(str(p[-1]).find("q4") >= 0 or str(p[-1]).find("q8") >= 0
-                        for p, _ in leaves)
-        if not has_quant or mode == "quantized":
-            if has_quant and jax.default_backend() == "tpu":
+        has_q4 = any(str(p[-1]).find("q4") >= 0 for p, _ in leaves)
+        has_q8 = any(str(p[-1]).find("q8") >= 0 for p, _ in leaves)
+        if not (has_q4 or has_q8) or mode == "quantized":
+            if has_q4 and jax.default_backend() == "tpu":
                 # pick the faster 4-bit matmul implementation for this chip
                 sample = _largest_q4(params)
                 if sample is not None:
@@ -136,9 +142,14 @@ class InferenceEngine:
         act_dtype = params["wte"].dtype
         if mode == "preload":
             return quant.dequantize_model(params, act_dtype)
-        # auto: preload when the dense model fits in ~60% of device memory
-        n_params = _dense_param_count(params)
-        dense_bytes = n_params * jnp.dtype(act_dtype).itemsize
+        if mode == "preload_int8":
+            return quant.requantize_int8_model(params)
+        # auto: int8 weights already serve through the fused int8 matmul —
+        # that IS the fast path, never widen them. 4-bit weights preload to
+        # dense int8 when the int8 model fits in ~60% of device memory.
+        if not has_q4:
+            return params
+        int8_bytes = _dense_param_count(params)  # 1 byte/param
         dev = jax.devices()[0]
         limit = 0
         try:
@@ -155,8 +166,8 @@ class InferenceEngine:
                 if key in kind:
                     limit = gb * 2**30
                     break
-        if limit and dense_bytes < 0.6 * limit:
-            return quant.dequantize_model(params, act_dtype)
+        if limit and int8_bytes < 0.6 * limit:
+            return quant.requantize_int8_model(params)
         return InferenceEngine._resolve_weights(params, "quantized")
 
     @property

@@ -121,7 +121,7 @@ def main(
 ) -> None:
     """Generate text samples from a checkpoint (ref generate/base.py:96-187).
 
-    weights_mode: quantized|preload|auto (see InferenceEngine);
+    weights_mode: quantized|preload|preload_int8|auto (see InferenceEngine);
     kv_cache_dtype: e.g. int8 for the quantized KV cache, bfloat16, ...
     """
     cfg, params = load_and_prepare(

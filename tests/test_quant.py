@@ -106,3 +106,63 @@ def test_quantize_model_and_generate():
 def test_unknown_mode_rejected(kernel):
     with pytest.raises(ValueError, match="unknown quantization mode"):
         quant.quantize_linear_params({"kernel": jnp.asarray(kernel)}, "bnb.bogus")
+
+
+def test_int8_matmul_fused_matches_dequant(kernel):
+    """The fused int8 matmul (convert-in-dot + scale-on-output) must equal
+    the reference dequant->matmul formulation."""
+    q = quant.quantize_int8(kernel)
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(3, kernel.shape[0])), jnp.float32)
+    ref = jnp.einsum("bi,io->bo", x, quant.dequantize(q, jnp.float32))
+    got = quant.int8_matmul(x, q["q8"], q["scale8"])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_requantize_int8_model_parity():
+    """int8 serving of an NF4 checkpoint: same greedy tokens on a tiny
+    model, bounded logits shift, stacked (n_layer,) axes handled."""
+    from fastmax_tpu.models.config import Config
+    from fastmax_tpu.models import gpt
+    from fastmax_tpu.inference.engine import InferenceEngine
+
+    cfg = Config(block_size=64, vocab_size=128, padded_vocab_size=128,
+                 n_layer=2, n_head=4, n_embd=64, rotary_percentage=1.0)
+    params = gpt.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    q = quant.quantize_model(params, "bnb.nf4")
+    r = quant.requantize_int8_model(q)
+
+    # stacked block linears became stacked int8
+    attn = r["blocks"]["attn"]["attn"]
+    assert attn["q8"].dtype == jnp.int8 and attn["q8"].ndim == 3
+    assert attn["scale8"].shape == attn["q8"].shape[:1] + attn["q8"].shape[-1:]
+
+    prompt = jnp.asarray(np.arange(1, 17), jnp.int32)
+    outs = {}
+    for mode in ("preload", "preload_int8"):
+        eng = InferenceEngine(cfg, q, max_seq_length=64, batch_size=1, weights_mode=mode)
+        outs[mode] = np.asarray(
+            eng.generate(prompt, 32, temperature=0.0, key=jax.random.PRNGKey(1))
+        )
+        cache = eng.new_cache()
+        lg, _ = eng._prefill(eng.params, prompt[None], cache, 0)
+        outs[mode + "_logits"] = np.asarray(lg)
+    assert np.array_equal(outs["preload"], outs["preload_int8"])
+    rel = np.abs(outs["preload_logits"] - outs["preload_int8_logits"]).max() / (
+        np.abs(outs["preload_logits"]).max() + 1e-9
+    )
+    assert rel < 0.05
+
+
+def test_auto_mode_keeps_int8_native():
+    """auto weights mode must NOT widen an int8 model to the activation
+    dtype — native int8 through the fused matmul is the fast path."""
+    from fastmax_tpu.models.config import Config
+    from fastmax_tpu.models import gpt
+    from fastmax_tpu.inference.engine import InferenceEngine
+
+    cfg = Config(block_size=32, vocab_size=64, padded_vocab_size=64,
+                 n_layer=1, n_head=2, n_embd=32, rotary_percentage=1.0)
+    params = gpt.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    q8m = quant.quantize_model(params, "bnb.int8")
+    resolved = InferenceEngine._resolve_weights(q8m, "auto")
+    assert "q8" in resolved["blocks"]["attn"]["attn"]
