@@ -45,13 +45,43 @@ def prompt_config(checkpoint_name: str, tokenizer: Tokenizer) -> Tuple[str, Tupl
             "participate in anything that could harm a human."
             "\n<|USER|>{prompt}<|ASSISTANT|>"
         )
-        stop = ([tokenizer.eos_id], [tokenizer.token_to_id("<|SYSTEM|>")],
-                [tokenizer.token_to_id("<|ASSISTANT|>")], [tokenizer.token_to_id("<|USER|>")])
-        return system, stop
+        return system, _stops(tokenizer, ["<|SYSTEM|>"], ["<|ASSISTANT|>"], ["<|USER|>"])
     if re.search(r"stablelm-zephyr", name):
         return "<|user|>\n{prompt}<|endoftext|>\n<|assistant|>\n", ([tokenizer.eos_id],)
+    if re.search(r"redpajama-incite.*chat", name):
+        # <human>/<bot> turns; no dedicated stop token, so match the
+        # multi-token speaker tags (ref chat/base.py:214-223)
+        stop = _stops(tokenizer, ["<", "human", ">:"], ["<", "bot", ">:"])
+        return "<human>: {prompt}\n<bot>:", stop
+    if re.search(r"redpajama-incite.*instruct", name):
+        stop = _stops(tokenizer, ["Q", ":"], ["A", ":"],
+                      [187, 187], [535])  # 187/535: gpt-neox newline ids
+        return "Q: {prompt}\nA:", stop
     if re.search(r"falcon.*-instruct", name):
-        return "{prompt}\n", ([tokenizer.eos_id], [tokenizer.token_to_id(">>QUESTION<<")] if _has(tokenizer, ">>QUESTION<<") else [tokenizer.eos_id])
+        # Falcon rarely emits eos; stop on a new "User:" turn instead
+        # (ref chat/base.py:239-251)
+        stop = _stops(tokenizer, ["User", ":"], [193, "User"])  # 193 = '\n'
+        return "Do not prefix your replies with 'Bot: '\nUser: {prompt}\n", stop
+    if re.search(r"function-calling", name):
+        # function-calling Llama-2: a FUNCTIONS block precedes the normal
+        # [INST] wrapping (ref chat/base.py:261-284)
+        import json as _json
+
+        fn = _json.dumps(
+            {
+                "function": "search_web",
+                "description": "Search the web for content.",
+                "arguments": [
+                    {"name": "query", "type": "string", "description": "The search query"}
+                ],
+            }
+        ).replace("{", "{{").replace("}", "}}")
+        system = (
+            f"<FUNCTIONS>{fn}</FUNCTIONS>\n\n[INST]<<SYS>>\nYou are a helpful assistant "
+            "that responds only with JSON-formatted function calls\n<</SYS>>\n\n"
+            "{prompt}[/INST]\n\n"
+        )
+        return system, ([tokenizer.eos_id],)
     if re.search(r"vicuna|longchat", name):
         system = (
             "A chat between a curious user and an artificial intelligence assistant. The "
@@ -70,11 +100,23 @@ def prompt_config(checkpoint_name: str, tokenizer: Tokenizer) -> Tuple[str, Tupl
     if re.search(r"freewilly2", name):
         system = "### System:\nThis is a system prompt, please behave and help the user.\n\n### User:\n{prompt}\n\n### Assistant:\n"
         return system, ([tokenizer.eos_id],)
-    if re.search(r"mistral.*-instruct|mixtral.*-instruct", name):
-        return "[INST] {prompt} [/INST]", ([tokenizer.eos_id],)
+    if re.search(r"platypus", name):
+        return "### Instruction:\n\n{prompt}\n\n### Response:\n", ([tokenizer.eos_id],)
+    if re.search(r"nous-hermes", name):
+        return "### Instruction:\n{prompt}\n\n### Response:\n", ([tokenizer.eos_id],)
+    if re.search(r"stablecode-instruct", name):
+        return "###Instruction\n{prompt}###Response\n", ([tokenizer.eos_id],)
+    if re.search(r"codellama.*-instruct|mistral.*-instruct|mixtral.*-instruct", name):
+        return "<s>[INST] {prompt} [/INST]", ([tokenizer.eos_id],)
     if re.search(r"tinyllama.*chat", name):
         system = "<|system|>\nYou are a friendly chatbot.</s>\n<|user|>\n{prompt}</s>\n<|assistant|>\n"
         return system, ([tokenizer.eos_id],)
+    if re.search(r"phi-1", name):
+        # phi-1.5 rarely emits eos; stop on a new "Answer:" turn
+        stop = _stops(tokenizer, ["Answer", ":"], [198, "Answer", ":"])
+        return "{prompt}\n\nAnswer:", stop
+    if re.search(r"phi-2", name):
+        return "Instruct:{prompt}\nOutput:", ([tokenizer.eos_id],)
     if re.search(r"phi", name):
         return "{prompt}\n\nAnswer:", ([tokenizer.eos_id],)
     # default: raw continuation
@@ -87,6 +129,26 @@ def _has(tokenizer: Tokenizer, token: str) -> bool:
         return True
     except Exception:
         return False
+
+
+def _stops(tokenizer: Tokenizer, *seqs) -> tuple:
+    """Build stop-token sequences, dropping any whose named tokens this
+    tokenizer doesn't have (family templates assume the family's own
+    tokenizer; degrade to eos-only elsewhere)."""
+    out = [[tokenizer.eos_id]]
+    for seq in seqs:
+        ids = []
+        for item in seq:
+            if isinstance(item, int):
+                ids.append(item)
+            elif _has(tokenizer, item):
+                ids.append(tokenizer.token_to_id(item))
+            else:
+                ids = None
+                break
+        if ids:
+            out.append(ids)
+    return tuple(out)
 
 
 # --------------------------------------------------------------- streaming
@@ -195,6 +257,10 @@ def main(
         Path(checkpoint_dir), quantize=quantize, attn_alg=attn_alg,
         precision=precision, tp=tp,
     )
+    if tp == 1:
+        from .engine import InferenceEngine
+
+        params = InferenceEngine.prepare_params(params, "auto")
     tokenizer = Tokenizer(Path(checkpoint_dir))
     system_prompt, stop_tokens = prompt_config(cfg.name, tokenizer)
     session = StreamingSession(cfg, params, cfg.block_size)

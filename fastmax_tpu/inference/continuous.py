@@ -58,7 +58,7 @@ class ContinuousBatcher:
         from .engine import InferenceEngine
 
         self.cfg = cfg
-        self.params = params = InferenceEngine._resolve_weights(params, weights_mode)
+        self.params = params = InferenceEngine.prepare_params(params, weights_mode)
         self.n_slots = n_slots
         self.max_seq_length = min(max_seq_length or cfg.block_size, cfg.block_size)
         self.prefill_bucket = prefill_bucket

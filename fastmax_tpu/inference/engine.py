@@ -60,6 +60,45 @@ _AUTOTUNE_RANK = {"q4": 2, "absmax": 2, "code": 1, "absmax_q": 2,
                   "absmax_scale": 1, "absmax_offset": 0}
 
 
+_FUSABLE_AXES = ("kernel", "q8", "scale8", "q4", "absmax", "bias")
+
+
+def _fuse_mlp_gates(params: dict) -> dict:
+    """Concatenate the SwiGLU/GeGLU gate+up kernels ([fc_1 | fc_2] along the
+    output axis) into one ``fc_12`` matmul — an inference-only layout that
+    halves the MLP-up kernel count. Skipped when the arrays are sharded
+    across devices (a colwise TP shard of the concat would land all of fc_1
+    on shard 0), carry LoRA/adapter terms, or use double-quantized scales
+    (whose flat-packed absmax doesn't concat along the output axis)."""
+    blocks = params.get("blocks")
+    if not isinstance(blocks, dict):
+        return params
+    mlp = blocks.get("mlp")
+    if not isinstance(mlp, dict) or "fc_1" not in mlp or "fc_2" not in mlp:
+        return params
+    fc1, fc2 = mlp["fc_1"], mlp["fc_2"]
+    if set(fc1) != set(fc2):
+        return params
+    if any(k != "code" and k not in _FUSABLE_AXES for k in fc1):
+        return params
+    for leaf in (next(iter(fc1.values())),):
+        sharding = getattr(leaf, "sharding", None)
+        if sharding is not None and len(getattr(sharding, "device_set", ())) > 1:
+            return params
+    fused = {
+        k: jnp.concatenate([fc1[k], fc2[k]], axis=-1) for k in fc1 if k != "code"
+    }
+    if "code" in fc1:
+        fused["code"] = fc1["code"]
+    new_mlp = {k: v for k, v in mlp.items() if k not in ("fc_1", "fc_2")}
+    new_mlp["fc_12"] = fused
+    new_blocks = dict(blocks)
+    new_blocks["mlp"] = new_mlp
+    out = dict(params)
+    out["blocks"] = new_blocks
+    return out
+
+
 def _dense_param_count(params: dict) -> int:
     import numpy as np
 
@@ -102,7 +141,7 @@ class InferenceEngine:
                         4-bit models preload to int8 when they fit in HBM.
         """
         self.cfg = cfg
-        params = self._resolve_weights(params, weights_mode)
+        params = self.prepare_params(params, weights_mode)
         self.params = params
         self.max_seq_length = min(max_seq_length or cfg.block_size, cfg.block_size)
         self.batch_size = batch_size
@@ -122,6 +161,13 @@ class InferenceEngine:
             static_argnames=("temperature", "top_k"),
             donate_argnums=(1,),
         )
+
+    @staticmethod
+    def prepare_params(params: dict, mode: str) -> dict:
+        """Full inference weight preparation: resolve the serving
+        representation (see weights_mode) then apply serving-only layout
+        optimizations (fused gate+up)."""
+        return _fuse_mlp_gates(InferenceEngine._resolve_weights(params, mode))
 
     @staticmethod
     def _resolve_weights(params: dict, mode: str) -> dict:

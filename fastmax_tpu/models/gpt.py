@@ -169,8 +169,18 @@ def apply_mlp(p: dict, x: jnp.ndarray, cfg: Config) -> jnp.ndarray:
         h = jax.nn.gelu(h, approximate=cfg.gelu_approximate == "tanh")
         return linear(p["proj"], h)
     if name == "LLaMAMLP":
+        if "fc_12" in p:
+            # fused gate+up: one matmul of [fc_1 | fc_2] (inference layout,
+            # see InferenceEngine.prepare_params) — halves the MLP-up kernel
+            # count, which matters at decode where each matmul is launch- and
+            # bandwidth-granularity-bound
+            h1, h2 = jnp.split(linear(p["fc_12"], x), 2, axis=-1)
+            return linear(p["proj"], jax.nn.silu(h1) * h2)
         return linear(p["proj"], jax.nn.silu(linear(p["fc_1"], x)) * linear(p["fc_2"], x))
     if name == "GemmaMLP":
+        if "fc_12" in p:
+            h1, h2 = jnp.split(linear(p["fc_12"], x), 2, axis=-1)
+            return linear(p["proj"], jax.nn.gelu(h1, approximate=False) * h2)
         return linear(p["proj"], jax.nn.gelu(linear(p["fc_1"], x), approximate=False) * linear(p["fc_2"], x))
     if name == "LLaMAMoE":
         return apply_moe(p, x, cfg)

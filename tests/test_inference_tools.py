@@ -126,7 +126,12 @@ def test_prompt_config_families(checkpoint_dir):
 
     tokenizer = Tokenizer(checkpoint_dir)
     for name in ("Llama-2-7b-chat-hf", "vicuna-7b-v1.5", "Mistral-7B-Instruct-v0.1",
-                 "TinyLlama-1.1B-Chat-v1.0", "phi-2", "unknown-model"):
+                 "TinyLlama-1.1B-Chat-v1.0", "phi-1_5", "phi-2", "unknown-model",
+                 "RedPajama-INCITE-Chat-3B-v1", "RedPajama-INCITE-Instruct-3B-v1",
+                 "falcon-7b-instruct", "Llama-2-7b-chat-hf-function-calling-v2",
+                 "Platypus2-7B", "Nous-Hermes-llama-2-7b", "stablecode-instruct-alpha-3b",
+                 "CodeLlama-7b-Instruct-hf", "FreeWilly2", "gemma-7b-it",
+                 "stablelm-tuned-alpha-3b", "stablelm-zephyr-3b"):
         template, stops = prompt_config(name, tokenizer)
         assert "{prompt}" in template
         assert all(isinstance(s, (list, tuple)) for s in stops)

@@ -166,3 +166,39 @@ def test_auto_mode_keeps_int8_native():
     q8m = quant.quantize_model(params, "bnb.int8")
     resolved = InferenceEngine._resolve_weights(q8m, "auto")
     assert "q8" in resolved["blocks"]["attn"]["attn"]
+
+
+def test_fused_gate_up_exact():
+    """The fc_12 (gate|up) fused inference layout is numerically exact for
+    dense, int8, and packed-4-bit weights, and skipped for double-quant."""
+    from fastmax_tpu.models.config import Config
+    from fastmax_tpu.models import gpt
+    from fastmax_tpu.inference.engine import InferenceEngine, _fuse_mlp_gates
+
+    cfg = Config(block_size=64, vocab_size=128, padded_vocab_size=128,
+                 n_layer=2, n_head=4, n_embd=64, rotary_percentage=1.0,
+                 _mlp_class="LLaMAMLP", intermediate_size=128,
+                 _norm_class="RMSNorm", bias=False, parallel_residual=False)
+    params = gpt.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    prompt = jnp.asarray(np.arange(1, 17), jnp.int32)[None]
+
+    fused = _fuse_mlp_gates(params)
+    assert "fc_12" in fused["blocks"]["mlp"]
+    l0, _ = gpt.forward(params, cfg, prompt)
+    l1, _ = gpt.forward(fused, cfg, prompt)
+    assert float(jnp.abs(l0 - l1).max()) == 0.0
+
+    q = quant.quantize_model(params, "bnb.nf4")
+    r = quant.requantize_int8_model(q)
+    lr0, _ = gpt.forward(r, cfg, prompt)
+    lr1, _ = gpt.forward(_fuse_mlp_gates(r), cfg, prompt)
+    assert float(jnp.abs(lr0 - lr1).max()) == 0.0
+
+    lq0, _ = gpt.forward(q, cfg, prompt)
+    lq1, _ = gpt.forward(_fuse_mlp_gates(q), cfg, prompt)
+    assert float(jnp.abs(lq0 - lq1).max()) == 0.0
+
+    qdq = quant.quantize_model(params, "bnb.nf4-dq")
+    eng = InferenceEngine(cfg, qdq, max_seq_length=64, batch_size=1,
+                          weights_mode="quantized")
+    assert "fc_12" not in eng.params["blocks"]["mlp"]
