@@ -47,6 +47,20 @@ def load_and_prepare(
     kw = {"attn_alg": attn_alg} if attn_alg else {}
     cfg = Config.from_checkpoint(checkpoint_dir, **kw)
     dtype = getattr(jnp, precision)
+
+    if (tp > 1 or fsdp > 1) and finetuned_path is None and not quantize:
+        # multi-chip dense load: stream each host's shard slices straight
+        # from checkpoint mmap to the mesh — no host holds a full model
+        # (utils/sharded_load.py; the reference's xla/utils.py:34-113 role)
+        from ..parallel import sharding as sh
+        from ..utils.sharded_load import load_sharded_model_params
+
+        mesh = sh.make_mesh(data=1, fsdp=fsdp, model=tp)
+        _, params = load_sharded_model_params(
+            checkpoint_dir, mesh, cfg=cfg, dtype=dtype, tp=tp > 1, fsdp_size=fsdp
+        )
+        return cfg, params
+
     _, params = load_model_params(checkpoint_dir, cfg, dtype)
 
     if finetuned_path is not None:

@@ -69,18 +69,38 @@ def params_to_flat(params: dict, cfg: Config) -> Dict[str, np.ndarray]:
     return out
 
 
-def flat_to_params(flat: Dict[str, np.ndarray], cfg: Config, dtype=jnp.float32) -> dict:
-    """Build the internal pytree from a flat lit-gpt-named state dict."""
+def flat_to_params(
+    flat: Dict[str, np.ndarray],
+    cfg: Config,
+    dtype=jnp.float32,
+    *,
+    leaf_get=None,
+    leaf_stack=None,
+) -> dict:
+    """Build the internal pytree from a flat lit-gpt-named state dict.
+
+    ``leaf_get(src, transpose)`` / ``leaf_stack(leaves)`` override how leaves
+    are materialized — the default reads into device arrays; the sharded
+    loader (utils/sharded_load.py) passes lazy mmap-backed constructors so
+    each host only ever reads the slices its shards need.
+    """
+
+    if leaf_get is None:
+        def leaf_get(src, transpose=False):
+            w = np.asarray(src)
+            return jnp.asarray(w.T if transpose else w, dtype)
+    if leaf_stack is None:
+        def leaf_stack(leaves):
+            return jnp.stack(list(leaves))
 
     def get(name, transpose=False):
-        w = np.asarray(flat[name])
-        return jnp.asarray(w.T if transpose else w, dtype)
+        return leaf_get(flat[name], transpose)
 
     def has(name):
         return name in flat
 
     def stack(fn):
-        return jnp.stack([fn(i) for i in range(cfg.n_layer)])
+        return leaf_stack(fn(i) for i in range(cfg.n_layer))
 
     def linear_of(prefix_fn):
         p = {"kernel": stack(lambda i: get(f"{prefix_fn(i)}.weight", transpose=True))}
@@ -117,16 +137,12 @@ def flat_to_params(flat: Dict[str, np.ndarray], cfg: Config, dtype=jnp.float32) 
         }
     else:  # MoE
         def expert_lin(name):
-            k = jnp.stack(
-                [
-                    jnp.stack(
-                        [
-                            get(f"transformer.h.{i}.mlp.experts.{e}.{name}.weight", transpose=True)
-                            for e in range(cfg.n_expert)
-                        ]
-                    )
-                    for i in range(cfg.n_layer)
-                ]
+            k = leaf_stack(
+                leaf_stack(
+                    get(f"transformer.h.{i}.mlp.experts.{e}.{name}.weight", transpose=True)
+                    for e in range(cfg.n_expert)
+                )
+                for i in range(cfg.n_layer)
             )
             return {"kernel": k}
 
