@@ -132,11 +132,14 @@ def main(
     seed: int = 1234,
     weights_mode: str = "auto",
     kv_cache_dtype: Optional[str] = None,
+    speculative_k: int = 0,
 ) -> None:
     """Generate text samples from a checkpoint (ref generate/base.py:96-187).
 
     weights_mode: quantized|preload|preload_int8|auto (see InferenceEngine);
-    kv_cache_dtype: e.g. int8 for the quantized KV cache, bfloat16, ...
+    kv_cache_dtype: e.g. int8 for the quantized KV cache, bfloat16, ...;
+    speculative_k: >0 enables prompt-lookup speculative decoding with k
+    drafted tokens per verify step (greedy only — forces temperature 0).
     """
     cfg, params = load_and_prepare(
         checkpoint_dir, quantize=quantize, attn_alg=attn_alg,
@@ -153,10 +156,17 @@ def main(
     max_returned = prompt_len + max_new_tokens
 
     engine = InferenceEngine(
-        cfg, params, max_seq_length=max_returned, batch_size=1,
+        cfg, params,
+        max_seq_length=max_returned + (speculative_k + 1 if speculative_k else 0),
+        batch_size=1,
         weights_mode=weights_mode,
         cache_dtype=getattr(jnp, kv_cache_dtype) if kv_cache_dtype else None,
     )
+    spec = None
+    if speculative_k:
+        from .speculative import SpeculativeDecoder
+
+        spec = SpeculativeDecoder(engine, k=speculative_k)
     print(f"model {cfg.name}: attn_alg={cfg.attn_alg}"
           + (f", quantized {quantize}" if quantize else ""), file=sys.stderr)
 
@@ -164,11 +174,15 @@ def main(
     for i in range(num_samples):
         key, sub = jax.random.split(key)
         t0 = time.perf_counter()
-        out = engine.generate(
-            jnp.asarray(encoded), max_returned,
-            temperature=temperature, top_k=top_k,
-            eos_id=tokenizer.eos_id, key=sub,
-        )
+        if spec is not None:
+            out = spec.generate(jnp.asarray(encoded), max_returned,
+                                eos_id=tokenizer.eos_id)
+        else:
+            out = engine.generate(
+                jnp.asarray(encoded), max_returned,
+                temperature=temperature, top_k=top_k,
+                eos_id=tokenizer.eos_id, key=sub,
+            )
         dt = time.perf_counter() - t0
         print(tokenizer.decode(np.asarray(out[0])))
         n_new = out.shape[1] - prompt_len
