@@ -139,7 +139,8 @@ def main(
     weights_mode: quantized|preload|preload_int8|auto (see InferenceEngine);
     kv_cache_dtype: e.g. int8 for the quantized KV cache, bfloat16, ...;
     speculative_k: >0 enables prompt-lookup speculative decoding with k
-    drafted tokens per verify step (greedy only — forces temperature 0).
+    drafted tokens per verify step (greedy at temperature 0; otherwise
+    exact speculative sampling via the rejection rule).
     """
     cfg, params = load_and_prepare(
         checkpoint_dir, quantize=quantize, attn_alg=attn_alg,
@@ -176,7 +177,8 @@ def main(
         t0 = time.perf_counter()
         if spec is not None:
             out = spec.generate(jnp.asarray(encoded), max_returned,
-                                eos_id=tokenizer.eos_id)
+                                eos_id=tokenizer.eos_id,
+                                temperature=temperature, top_k=top_k, key=sub)
         else:
             out = engine.generate(
                 jnp.asarray(encoded), max_returned,

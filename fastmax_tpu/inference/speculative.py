@@ -1,12 +1,24 @@
-"""Prompt-lookup speculative decoding (greedy).
+"""Prompt-lookup speculative decoding.
 
 A TPU-native latency optimization absent from the reference (whose decode
 is strictly one-token-at-a-time, generate/base.py:87-92). Decode on TPU is
 weight-bandwidth-bound: a forward over k+1 tokens streams the same bytes
 from HBM as a forward over 1 token, so verifying k drafted tokens per step
-is nearly free — every accepted draft is a decode step saved, and greedy
-equivalence is guaranteed by construction (rejected drafts fall back to
-the verifier's own argmax). The usual speculative caveat applies:
+is nearly free — every accepted draft is a decode step saved.
+
+Two verification modes:
+
+* ``temperature=0`` — greedy: a draft is accepted iff it equals the
+  verifier's argmax; equivalence with plain greedy decode is guaranteed by
+  construction (rejected drafts fall back to the verifier's own argmax).
+* ``temperature>0`` — speculative sampling: the Leviathan et al. (2023)
+  rejection rule specialized to deterministic drafts
+  (``ops/sampling.speculative_accept``): accept draft d_i with probability
+  p_i(d_i), on rejection resample from p_i with d_i removed. Every emitted
+  token is marginally distributed exactly as plain temperature/top-k
+  sampling from the same model.
+
+The usual speculative caveat applies:
 equivalence is exact up to the numerical determinism of the forward pass
 across sequence lengths — in bf16 a T=k+1 forward can differ from a T=1
 forward by ~1 ulp (measured 0.008 absolute on TPU v5e), which can flip a
@@ -34,6 +46,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from ..ops.sampling import sample, speculative_accept
+
 
 def ngram_draft(hist: jnp.ndarray, pos: jnp.ndarray, k: int, max_seq: int) -> jnp.ndarray:
     """Draft k tokens by bigram lookup in ``hist[:pos]``.
@@ -57,10 +71,12 @@ def ngram_draft(hist: jnp.ndarray, pos: jnp.ndarray, k: int, max_seq: int) -> jn
 
 
 class SpeculativeDecoder:
-    """Greedy decode with prompt-lookup speculation for a batch-1 engine.
+    """Decode with prompt-lookup speculation for a batch-1 engine.
 
     Usage: SpeculativeDecoder(engine, k=8).generate(prompt, max_returned)
-    — output is exactly the engine's temperature-0 output.
+    — temperature=0 output is exactly the engine's greedy output;
+    temperature>0 output is distributed exactly as the engine's sampled
+    output (rejection sampling, see module docstring).
     """
 
     def __init__(self, engine, k: int = 8):
@@ -74,31 +90,42 @@ class SpeculativeDecoder:
         self.engine = engine
         self.k = k
         self._loop = jax.jit(
-            partial(self._loop_impl, k=k), static_argnames=("eos_id",), donate_argnums=(1,)
+            partial(self._loop_impl, k=k),
+            static_argnames=("eos_id", "temperature", "top_k"),
+            donate_argnums=(1,),
         )
 
     # ------------------------------------------------------------------ loop
 
-    def _loop_impl(self, params, cache, hist, pos0, limit, *, k: int, eos_id):
+    def _loop_impl(
+        self, params, cache, hist, pos0, limit, key,
+        *, k: int, eos_id, temperature: float = 0.0, top_k=None,
+    ):
         """hist: (S,) with prompt + first sampled token decided; pos0 = its
         length. Decode until eos or ``limit`` tokens total."""
         eng = self.engine
 
         def cond(carry):
-            pos, _, _, done, _ = carry
+            pos, _, _, _, done, _ = carry
             return (pos < limit) & ~done
 
         def body(carry):
-            pos, hist, cache, done, n_steps = carry
+            pos, hist, cache, key, done, n_steps = carry
             draft = ngram_draft(hist, pos, k, hist.shape[0])
             cur = hist[pos - 1]
             x = jnp.concatenate([cur[None], draft])[None]  # (1, k+1)
             logits, cache = eng._model_step(params, x, cache, pos - 1)
-            greedy = jnp.argmax(logits[0].astype(jnp.float32), axis=-1).astype(jnp.int32)
-            matches = (draft == greedy[:-1]).astype(jnp.int32)
-            a = jnp.sum(jnp.cumprod(matches))  # accepted drafts in [0, k]
-            # decided tokens this step: greedy[0..a] (a+1 of them)
-            cand = greedy  # (k+1,)
+            if temperature > 0.0:
+                key, sub = jax.random.split(key)
+                a, cand = speculative_accept(
+                    logits[0], draft, sub, temperature, top_k
+                )
+            else:
+                greedy = jnp.argmax(logits[0].astype(jnp.float32), axis=-1).astype(jnp.int32)
+                matches = (draft == greedy[:-1]).astype(jnp.int32)
+                a = jnp.sum(jnp.cumprod(matches))  # accepted drafts in [0, k]
+                # decided tokens this step: greedy[0..a] (a+1 of them)
+                cand = greedy  # (k+1,)
             # stop at eos inside the accepted window, and at the budget
             within = jnp.arange(k + 1)
             take = within <= a
@@ -118,13 +145,13 @@ class SpeculativeDecoder:
                 done_now = jnp.any((cand == eos_id) & take)
             pos = pos + n_new
             done_now = done_now | (pos >= limit)
-            return pos, hist, cache, done_now, n_steps + 1
+            return pos, hist, cache, key, done_now, n_steps + 1
 
         done0 = jnp.asarray(False)
         if eos_id is not None:
             done0 = hist[pos0 - 1] == eos_id
-        pos, hist, cache, _, n_steps = jax.lax.while_loop(
-            cond, body, (pos0, hist, cache, done0, jnp.asarray(0))
+        pos, hist, cache, _, _, n_steps = jax.lax.while_loop(
+            cond, body, (pos0, hist, cache, key, done0, jnp.asarray(0))
         )
         return hist, pos, n_steps
 
@@ -136,9 +163,16 @@ class SpeculativeDecoder:
         max_returned_tokens: int,
         *,
         eos_id: Optional[int] = None,
+        temperature: float = 0.0,
+        top_k: Optional[int] = None,
+        key: Optional[jax.Array] = None,
     ) -> jnp.ndarray:
-        """Greedy generation, output identical to engine.generate(...,
-        temperature=0). Returns (1, n) including the prompt."""
+        """Generate with speculation; temperature=0 output is identical to
+        engine.generate(..., temperature=0), temperature>0 output follows
+        the engine's sampling distribution exactly (rejection rule).
+        Returns (1, n) including the prompt."""
+        import time as _time
+
         import numpy as np
 
         eng = self.engine
@@ -154,9 +188,12 @@ class SpeculativeDecoder:
                 "with extra headroom for speculation"
             )
 
+        if key is None:
+            key = jax.random.PRNGKey(int(_time.time_ns()) % (2**31))
         cache = eng.new_cache()
         logits, cache = eng._prefill(eng.params, prompt.astype(jnp.int32), cache, 0)
-        first = jnp.argmax(logits[0].astype(jnp.float32)).astype(jnp.int32)
+        key, sub = jax.random.split(key)
+        first = sample(logits[0], sub, temperature, top_k).astype(jnp.int32)
 
         hist = jnp.zeros((eng.max_seq_length + self.k + 1,), jnp.int32)
         hist = jax.lax.dynamic_update_slice(hist, prompt[0].astype(jnp.int32), (0,))
@@ -164,7 +201,8 @@ class SpeculativeDecoder:
 
         limit = jnp.asarray(max_returned_tokens, jnp.int32)
         hist, pos, n_steps = self._loop(
-            eng.params, cache, hist, jnp.asarray(t + 1, jnp.int32), limit, eos_id=eos_id
+            eng.params, cache, hist, jnp.asarray(t + 1, jnp.int32), limit, key,
+            eos_id=eos_id, temperature=temperature, top_k=top_k,
         )
         self.last_steps = int(n_steps)  # verify forwards used (diagnostics)
         pos = int(pos)

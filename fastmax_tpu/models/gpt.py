@@ -387,6 +387,30 @@ def apply_block(bp, x, cfg, cos, sin, mask, kv_cache, input_pos, attn_fn=None):
 # --------------------------------------------------------------------------
 
 
+def _remat_wrap(body, remat):
+    """Per-block rematerialization of the scan body (the
+    activation_checkpointing_policy={Block} equivalent, ref
+    finetune/lora.py:88-91).
+
+    remat: False — save all block activations (fastest backward, most HBM);
+    True/"full" — save only the residual stream, recompute the whole block
+    in the backward (min HBM, fwd recompute = +1/3 step FLOPs);
+    "dots" — save weight-matmul outputs, recompute only batched/attention
+    intermediates (jax.checkpoint_policies.dots_with_no_batch_dims_saveable):
+    nearly the backward speed of remat=False at a fraction of its HBM —
+    the right trade when params+optimizer leave a few GB of headroom.
+    """
+    if remat is True or remat == "full":
+        return jax.checkpoint(body)
+    if remat == "dots":
+        return jax.checkpoint(
+            body, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+        )
+    if remat:
+        raise ValueError(f"unknown remat policy {remat!r}")
+    return body
+
+
 def forward(
     params: dict,
     cfg: Config,
@@ -454,11 +478,7 @@ def forward(
             y, _ = apply_block(bp, carry, cfg, cos, sin, mask, None, None)
             return y, None
 
-        if remat:
-            # per-block rematerialization: the backward pass recomputes each
-            # block's activations (the activation_checkpointing_policy={Block}
-            # equivalent, ref finetune/lora.py:88-91)
-            body = jax.checkpoint(body)
+        body = _remat_wrap(body, remat)
         x, _ = jax.lax.scan(body, x, params["blocks"])
         new_cache = None
 
@@ -657,7 +677,6 @@ def forward_hidden(
         y, _ = apply_block(bp, carry, cfg, cos, sin, None, None, None)
         return y, None
 
-    if remat:
-        body = jax.checkpoint(body)
+    body = _remat_wrap(body, remat)
     x, _ = jax.lax.scan(body, x, params["blocks"])
     return apply_norm(x, params["ln_f"], cfg.norm_class_name, cfg.norm_eps, cfg.add_unit_offset)

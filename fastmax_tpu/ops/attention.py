@@ -29,6 +29,10 @@ from . import fastmax as fm
 
 NEG_INF = float("-inf")
 
+# full-sequence quadratic forwards at T >= this use the blockwise
+# (flash-style) kernel instead of dense (B, H, T, T) scores
+BLOCKWISE_MIN_T = 2048
+
 
 def repeat_kv_heads(x: jnp.ndarray, n_head: int) -> jnp.ndarray:
     """Expand grouped KV heads (B, G, S, D) -> (B, n_head, S, D)."""
@@ -107,7 +111,7 @@ def attention(
     scale = 1.0 / head_size ** 0.5
     if attn_alg == "quadratic":
         t, s = q.shape[2], k.shape[2]
-        if mask is None and t == s and t >= 2048:
+        if mask is None and t == s and t >= BLOCKWISE_MIN_T:
             # long-context training/eval: blockwise attention with the
             # flash-style custom VJP — O(T*block) memory instead of the
             # dense (H, T, T) score tensor. Non-multiple lengths pad with

@@ -36,6 +36,63 @@ def sample(
     return jnp.argmax(logits + gumbel, axis=-1).astype(jnp.int32)
 
 
+def filtered_log_probs(
+    logits: jnp.ndarray, temperature: float, top_k: Optional[int] = None
+) -> jnp.ndarray:
+    """Log-probs of the distribution ``sample`` draws from (top-k filter,
+    then temperature-scaled softmax). temperature must be > 0."""
+    logits = logits.astype(jnp.float32)
+    if top_k is not None:
+        kth = jnp.sort(logits, axis=-1)[..., -top_k][..., None]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    return jax.nn.log_softmax(logits / temperature, axis=-1)
+
+
+def speculative_accept(
+    logits: jnp.ndarray,
+    draft: jnp.ndarray,
+    key: jax.Array,
+    temperature: float,
+    top_k: Optional[int] = None,
+):
+    """Speculative-sampling rejection rule for a deterministic draft.
+
+    The standard rule (Leviathan et al. 2023) specialized to a point-mass
+    draft distribution q = onehot(d_i): accept d_i with probability
+    min(1, p_i(d_i)/q_i(d_i)) = p_i(d_i); on the first rejection emit a
+    token from norm(max(p_i - q_i, 0)) — p_i with d_i removed and
+    renormalized; if every draft is accepted emit a bonus token from
+    p_k. Each emitted token is marginally distributed exactly as p_i, so
+    the generated sequence has the same distribution as plain
+    temperature/top-k ancestral sampling.
+
+    logits: (k+1, V) verifier logits over [current, draft tokens];
+    draft: (k,) drafted token ids. Returns ``(a, tokens)`` where
+    ``a`` in [0, k] is the number of accepted drafts and ``tokens`` (k+1,)
+    holds the accepted drafts in [:a] and the resampled/bonus token at
+    [a]; entries past ``a`` are undefined.
+    """
+    k = draft.shape[0]
+    v = logits.shape[-1]
+    logp = filtered_log_probs(logits, temperature, top_k)  # (k+1, V)
+    key_u, key_r = jax.random.split(key)
+    u = jax.random.uniform(key_u, (k,))
+    p_draft = jnp.exp(logp[jnp.arange(k), draft])
+    acc = (u < p_draft).astype(jnp.int32)
+    a = jnp.sum(jnp.cumprod(acc))  # accepted drafts in [0, k]
+    # residual distribution at the emission position: on a rejection
+    # (a < k) remove the rejected draft token; on full acceptance (a == k)
+    # it is p_k unmodified
+    res_logp = logp[a]
+    rejected = jnp.where(a < k, draft[jnp.minimum(a, k - 1)], v)  # v = none
+    res_logp = jnp.where(jnp.arange(v) == rejected, -jnp.inf, res_logp)
+    gumbel = -jnp.log(-jnp.log(jax.random.uniform(key_r, (v,)) + 1e-20) + 1e-20)
+    nxt = jnp.argmax(res_logp + gumbel).astype(jnp.int32)
+    tokens = jnp.concatenate([draft, jnp.zeros((1,), draft.dtype)])
+    tokens = tokens.at[a].set(nxt)
+    return a, tokens
+
+
 def sample_traced(logits, key, temperature, top_k_mask_value):
     """jit-friendly variant where temperature is a traced scalar.
 

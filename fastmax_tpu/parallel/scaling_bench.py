@@ -47,15 +47,24 @@ def _train_step_time(cfg: Config, mesh, fsdp: int, tp: int, batch_size: int,
         np.random.default_rng(0).integers(0, cfg.vocab_size, (batch_size, seq_len + 1)),
         jnp.int32,
     )
+    def many(params, opt_state, batch, n):
+        # one dispatch for the whole timing loop: per-call launch latency
+        # (large on tunneled chips) must not pollute the step time, and the
+        # chained carry defeats upstream call-memoization
+        def body(_, c):
+            p, o, _ = c
+            return step(p, o, batch)
+
+        return jax.lax.fori_loop(0, n, body, (params, opt_state, jnp.float32(0)))
+
     batch = jax.device_put(batch, NamedSharding(mesh, sh.batch_spec()))
     with mesh:
-        jstep = jax.jit(step, donate_argnums=(0, 1))
-        params, opt_state, loss = jstep(params, opt_state, batch)  # compile
-        loss.block_until_ready()
+        jmany = jax.jit(many, donate_argnums=(0, 1))
+        params, opt_state, loss = jmany(params, opt_state, batch, 1)  # compile
+        float(loss)  # fetch, not block_until_ready: tunneled runtimes ack early
         t0 = time.perf_counter()
-        for _ in range(iters):
-            params, opt_state, loss = jstep(params, opt_state, batch)
-        loss.block_until_ready()
+        params, opt_state, loss = jmany(params, opt_state, batch, iters)
+        float(loss)
     return (time.perf_counter() - t0) / iters
 
 

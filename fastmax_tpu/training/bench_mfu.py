@@ -1,0 +1,168 @@
+"""Training-step MFU benchmark.
+
+The reference's headline training metric is model-FLOPs utilization
+(xla/README.md:153: Falcon-7B adapter finetune at 49.57% MFU on v4-32;
+tutorials/pretrain_tinyllama.md:19-25: TinyLlama at 52% MFU on 64xA100).
+This harness measures the same quantity for this framework's jitted SPMD
+train step on whatever chips are visible: a single chip benches the
+kernel-level compute efficiency, a mesh benches it end-to-end with the
+FSDP/TP collectives in the step.
+
+  python -m fastmax_tpu.training.bench_mfu --model_name pythia-410m \
+      --micro_batch 8 --seq_len 1024
+
+Prints one JSON line with step time, tokens/sec, and MFU (estimate_flops
+convention: fwd + 2x bwd, +attention term — ref lit_gpt/utils.py:309-339).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding
+
+from ..models.config import Config
+from ..models import gpt
+from ..parallel import sharding as sh
+from ..utils.flops import estimate_flops, device_peak_flops
+from ..utils.profiling import device_memory_stats
+
+
+def make_bench_loss_fn(cfg: Config, remat: bool, lm_head_chunk: int = 128):
+    """Chunked-CE loss (the finetune recipes' memory-bounded pattern)."""
+    from ..utils.loss import chunked_cross_entropy
+
+    def loss_fn(params, batch):
+        inputs, targets = batch[:, :-1], batch[:, 1:]
+        hidden = gpt.forward_hidden(params, cfg, inputs, remat=remat)
+        return chunked_cross_entropy(hidden, params["lm_head"], targets, lm_head_chunk)
+
+    return loss_fn
+
+
+def run(
+    model_name: str = "pythia-410m",
+    seq_len: int = 1024,
+    micro_batch: int = 8,
+    attn_alg: Optional[str] = None,
+    remat: str = "full",
+    mu_dtype: str = "bfloat16",
+    fsdp: int = 0,
+    tp: int = 1,
+    iters: int = 10,
+    trace_dir: Optional[str] = None,
+) -> dict:
+    """Measure train-step MFU. fsdp=0 means shard over all visible devices
+    when more than one is present (single chip: no sharding)."""
+    cfg = Config.from_name(model_name)
+    cfg.block_size = min(cfg.block_size, seq_len)
+    if attn_alg:
+        cfg.attn_alg = attn_alg
+    if remat in ("none", "False", "false"):
+        remat = False  # type: ignore[assignment]
+
+    n_dev = len(jax.devices())
+    fsdp = fsdp or max(n_dev // tp, 1)
+    mesh = sh.make_mesh(data=n_dev // (fsdp * tp), fsdp=fsdp, model=tp)
+    batch_shards = (n_dev // (fsdp * tp)) * fsdp  # batch is sharded over (data, fsdp)
+    if micro_batch % batch_shards:
+        raise ValueError(
+            f"micro_batch {micro_batch} must be divisible by data*fsdp = {batch_shards}"
+        )
+
+    params = gpt.init_params(cfg, jax.random.PRNGKey(0), jnp.bfloat16)
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    specs = sh.param_specs(cfg, params, tp=tp > 1, fsdp_size=fsdp)
+    params = sh.shard_params(params, mesh, specs)
+
+    loss_fn = make_bench_loss_fn(cfg, remat)
+    optimizer = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(3e-4, b1=0.9, b2=0.95, weight_decay=0.02,
+                    mu_dtype=jnp.dtype(mu_dtype)),
+    )
+    opt_state = optimizer.init(params)
+
+    def step(params, opt_state, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    def many_steps(params, opt_state, batch, n):
+        # the whole timing loop runs on device in ONE dispatch: per-call
+        # host->device launch latency (large through tunneled chips) would
+        # otherwise dominate and the timing would not measure the step
+        def body(_, carry):
+            p, o, _ = carry
+            return step(p, o, batch)
+
+        return jax.lax.fori_loop(0, n, body, (params, opt_state, jnp.float32(0)))
+
+    batch = jnp.asarray(
+        np.random.default_rng(0).integers(0, cfg.vocab_size, (micro_batch, seq_len + 1)),
+        jnp.int32,
+    )
+    batch = jax.device_put(batch, NamedSharding(mesh, sh.batch_spec()))
+
+    with mesh:
+        # n is traced: the warmup call (n=1) and the timed call (n=iters)
+        # share one executable, and chained params defeat upstream
+        # call-memoization on tunneled runtimes
+        jmany = jax.jit(many_steps, donate_argnums=(0, 1))
+        t0 = time.perf_counter()
+        params, opt_state, loss = jmany(params, opt_state, batch, 1)
+        float(loss)  # fetch, not block_until_ready: tunneled runtimes ack early
+        compile_s = time.perf_counter() - t0
+
+        if trace_dir:
+            from ..utils.profiling import trace
+
+            with trace(trace_dir):
+                params, opt_state, loss = jmany(params, opt_state, batch, 1)
+                float(loss)
+
+        t0 = time.perf_counter()
+        params, opt_state, loss = jmany(params, opt_state, batch, iters)
+        float(loss)
+        dt = (time.perf_counter() - t0) / iters
+
+    tokens_per_step = micro_batch * seq_len
+    tps = tokens_per_step / dt
+    flops_per_seq = estimate_flops(cfg, n_params, seq_len, training=True)
+    kind = jax.devices()[0].device_kind
+    total_peak = device_peak_flops(kind) * n_dev
+    mfu = flops_per_seq * micro_batch / dt / total_peak
+    mem = device_memory_stats()
+    out = {
+        "model": model_name,
+        "remat": remat or "none",
+        "attn_alg": cfg.attn_alg,
+        "devices": n_dev,
+        "device_kind": kind,
+        "micro_batch": micro_batch,
+        "seq_len": seq_len,
+        "n_params": n_params,
+        "step_time_ms": round(dt * 1e3, 2),
+        "tokens_per_sec": round(tps, 1),
+        "mfu": round(float(mfu), 4),
+        "loss": round(float(loss), 4),
+        "compile_s": round(compile_s, 1),
+        "peak_hbm_gb": round(mem["peak_bytes_in_use"] / 2**30, 2),
+    }
+    return out
+
+
+def main() -> None:
+    from ..utils.cli import CLI
+
+    print(json.dumps(CLI(run)))
+
+
+if __name__ == "__main__":
+    main()

@@ -69,3 +69,87 @@ def test_speculative_budget_guard(setup):
     spec = SpeculativeDecoder(eng, k=8)
     with pytest.raises(ValueError, match="headroom"):
         spec.generate(jnp.asarray([1, 2, 3], jnp.int32), 128)
+
+
+# --------------------------------------------------------- sampling mode
+
+
+def test_speculative_accept_distribution():
+    """The rejection rule emits tokens marginally distributed exactly as
+    temperature sampling from the verifier: check the empirical marginal of
+    the first emitted token against p_0, and of the second emitted token
+    (conditional on the first draft being accepted) against p_1."""
+    from fastmax_tpu.ops.sampling import filtered_log_probs, speculative_accept
+
+    k, v, temp = 3, 16, 0.8
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.normal(size=(k + 1, v)) * 2.0, jnp.float32)
+    draft = jnp.asarray([5, 11, 2], jnp.int32)
+
+    n = 40_000
+    keys = jax.random.split(jax.random.PRNGKey(42), n)
+    a, tokens = jax.vmap(lambda s: speculative_accept(logits, draft, s, temp))(keys)
+    a, tokens = np.asarray(a), np.asarray(tokens)
+
+    p = np.exp(np.asarray(filtered_log_probs(logits, temp)))
+    # marginal of the first emitted token == p_0
+    emp0 = np.bincount(tokens[:, 0], minlength=v) / n
+    np.testing.assert_allclose(emp0, p[0], atol=4.5 / np.sqrt(n))
+    # conditional on draft[0] accepted, second emitted token == p_1
+    sel = a >= 1
+    emp1 = np.bincount(tokens[sel, 1], minlength=v) / sel.sum()
+    np.testing.assert_allclose(emp1, p[1], atol=4.5 / np.sqrt(sel.sum()))
+    # acceptance prob of draft[0] == p_0(draft[0])
+    np.testing.assert_allclose(sel.mean(), p[0, 5], atol=4.5 / np.sqrt(n))
+
+
+def test_speculative_accept_top_k():
+    """With top_k the emitted token always lies in the verifier's top-k set
+    even when the draft does not."""
+    from fastmax_tpu.ops.sampling import speculative_accept
+
+    k, v, top_k = 2, 32, 4
+    rng = np.random.default_rng(1)
+    logits = jnp.asarray(rng.normal(size=(k + 1, v)), jnp.float32)
+    topsets = np.argsort(np.asarray(logits), axis=-1)[:, -top_k:]
+    # draft tokens outside the top-k set: always rejected at position 0
+    draft = jnp.asarray(
+        [np.setdiff1d(np.arange(v), topsets[i])[0] for i in range(k)], jnp.int32
+    )
+    keys = jax.random.split(jax.random.PRNGKey(7), 500)
+    a, tokens = jax.vmap(lambda s: speculative_accept(logits, draft, s, 1.0, top_k))(keys)
+    a, tokens = np.asarray(a), np.asarray(tokens)
+    assert (a == 0).all()
+    assert np.isin(tokens[:, 0], topsets[0]).all()
+
+
+def test_speculative_sampling_generate(setup):
+    """End-to-end temperature>0 speculation: deterministic per key, valid
+    output, and a greedy run is untouched by the new plumbing."""
+    _, eng = setup
+    spec = SpeculativeDecoder(eng, k=4)
+    prompt = jnp.asarray(np.tile([3, 4, 5, 6], 4), jnp.int32)
+    key = jax.random.PRNGKey(3)
+    out1 = np.asarray(spec.generate(prompt, 64, temperature=0.7, top_k=20, key=key))
+    out2 = np.asarray(spec.generate(prompt, 64, temperature=0.7, top_k=20, key=key))
+    np.testing.assert_array_equal(out1, out2)
+    out3 = np.asarray(
+        spec.generate(prompt, 64, temperature=0.7, top_k=20, key=jax.random.PRNGKey(4))
+    )
+    assert out1.shape[1] <= 64 and (out1 >= 0).all() and (out1 < 96).all()
+    assert out1.shape != out3.shape or not np.array_equal(out1, out3)
+    # prompt preserved
+    np.testing.assert_array_equal(out1[0, :16], np.asarray(prompt))
+
+
+def test_speculative_sampling_eos(setup):
+    _, eng = setup
+    prompt = jnp.asarray(np.arange(1, 17), jnp.int32)
+    spec = SpeculativeDecoder(eng, k=4)
+    key = jax.random.PRNGKey(11)
+    ref = np.asarray(spec.generate(prompt, 64, temperature=0.9, key=key))
+    eos = int(ref[0, 16 + 2])
+    got = np.asarray(spec.generate(prompt, 64, temperature=0.9, eos_id=eos, key=key))
+    # same key -> same sampled stream -> must stop at that eos
+    assert got.shape[1] <= ref.shape[1]
+    assert got[0, -1] == eos or got.shape[1] == 64

@@ -172,3 +172,34 @@ def test_prepare_alpaca_roundtrip(tmp_path):
     assert inputs.shape == labels.shape
     assert (labels == -1).any()  # prompt masking applied
     assert inputs.shape[1] % 64 == 0  # bucketed padding
+
+
+def test_remat_policies_same_grads():
+    """remat=False / "full" / "dots" change memory, never numerics."""
+    import jax.numpy as jnp
+
+    from fastmax_tpu.models import gpt
+    from fastmax_tpu.utils.loss import cross_entropy
+
+    cfg = Config(block_size=32, vocab_size=64, padded_vocab_size=64,
+                 n_layer=2, n_head=2, n_embd=32, rotary_percentage=1.0)
+    params = gpt.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    batch = jnp.asarray(
+        np.random.default_rng(0).integers(0, 64, (2, 33)), jnp.int32
+    )
+
+    def loss(params, remat):
+        logits, _ = gpt.forward(params, cfg, batch[:, :-1], remat=remat)
+        return cross_entropy(logits, batch[:, 1:])
+
+    ref_l, ref_g = jax.value_and_grad(loss)(params, False)
+    for policy in (True, "full", "dots"):
+        l, g = jax.value_and_grad(loss)(params, policy)
+        np.testing.assert_allclose(float(l), float(ref_l), rtol=1e-6)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6),
+            g, ref_g,
+        )
+
+    with pytest.raises(ValueError, match="remat"):
+        loss(params, "bogus")
