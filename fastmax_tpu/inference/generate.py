@@ -133,14 +133,17 @@ def main(
     weights_mode: str = "auto",
     kv_cache_dtype: Optional[str] = None,
     speculative_k: int = 0,
+    draft_checkpoint_dir: Optional[Path] = None,
 ) -> None:
     """Generate text samples from a checkpoint (ref generate/base.py:96-187).
 
     weights_mode: quantized|preload|preload_int8|auto (see InferenceEngine);
     kv_cache_dtype: e.g. int8 for the quantized KV cache, bfloat16, ...;
-    speculative_k: >0 enables prompt-lookup speculative decoding with k
-    drafted tokens per verify step (greedy at temperature 0; otherwise
-    exact speculative sampling via the rejection rule).
+    speculative_k: >0 enables speculative decoding with k drafted tokens
+    per verify step (greedy at temperature 0; otherwise exact speculative
+    sampling via the rejection rule). Drafts come from prompt lookup, or
+    from a small draft model when --draft_checkpoint_dir is given (must
+    share the tokenizer/vocab, e.g. pythia-14m drafting for pythia-410m).
     """
     cfg, params = load_and_prepare(
         checkpoint_dir, quantize=quantize, attn_alg=attn_alg,
@@ -164,7 +167,18 @@ def main(
         cache_dtype=getattr(jnp, kv_cache_dtype) if kv_cache_dtype else None,
     )
     spec = None
-    if speculative_k:
+    if speculative_k and draft_checkpoint_dir:
+        from .speculative import DraftSpeculativeDecoder
+
+        dcfg, dparams = load_and_prepare(
+            Path(draft_checkpoint_dir), quantize=quantize, precision=precision
+        )
+        draft_engine = InferenceEngine(
+            dcfg, dparams, max_seq_length=engine.max_seq_length, batch_size=1,
+            weights_mode=weights_mode,
+        )
+        spec = DraftSpeculativeDecoder(engine, draft_engine, k=speculative_k)
+    elif speculative_k:
         from .speculative import SpeculativeDecoder
 
         spec = SpeculativeDecoder(engine, k=speculative_k)

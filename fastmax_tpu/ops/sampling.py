@@ -74,20 +74,54 @@ def speculative_accept(
     """
     k = draft.shape[0]
     v = logits.shape[-1]
+    # point-mass q: logq = 0 at the drafted token, -inf elsewhere
+    logq = jnp.where(
+        jnp.arange(v)[None, :] == draft[:, None], 0.0, -jnp.inf
+    )
+    return speculative_accept_logq(logits, draft, logq, key, temperature, top_k)
+
+
+def speculative_accept_logq(
+    logits: jnp.ndarray,
+    draft: jnp.ndarray,
+    logq: jnp.ndarray,
+    key: jax.Array,
+    temperature: float,
+    top_k: Optional[int] = None,
+):
+    """General speculative-sampling rejection rule (Leviathan et al. 2023).
+
+    Draft token d_i was sampled from the draft distribution q_i; it is
+    accepted with probability min(1, p_i(d_i) / q_i(d_i)); on the first
+    rejection the emitted token is drawn from the residual
+    norm(max(p_i - q_i, 0)); on full acceptance a bonus token is drawn
+    from p_k. Each emitted token is marginally distributed exactly as p_i.
+
+    logits: (k+1, V) verifier logits; draft: (k,) drafted ids;
+    logq: (k, V) the log-probabilities of the distributions the drafts were
+    sampled from (already temperature/top-k shaped by the drafter).
+    Returns ``(a, tokens)`` as in ``speculative_accept``.
+    """
+    k = draft.shape[0]
+    v = logits.shape[-1]
     logp = filtered_log_probs(logits, temperature, top_k)  # (k+1, V)
     key_u, key_r = jax.random.split(key)
     u = jax.random.uniform(key_u, (k,))
-    p_draft = jnp.exp(logp[jnp.arange(k), draft])
-    acc = (u < p_draft).astype(jnp.int32)
+    idx = jnp.arange(k)
+    ratio = jnp.exp(jnp.minimum(logp[idx, draft] - logq[idx, draft], 0.0))
+    acc = (u < ratio).astype(jnp.int32)
     a = jnp.sum(jnp.cumprod(acc))  # accepted drafts in [0, k]
-    # residual distribution at the emission position: on a rejection
-    # (a < k) remove the rejected draft token; on full acceptance (a == k)
-    # it is p_k unmodified
-    res_logp = logp[a]
-    rejected = jnp.where(a < k, draft[jnp.minimum(a, k - 1)], v)  # v = none
-    res_logp = jnp.where(jnp.arange(v) == rejected, -jnp.inf, res_logp)
+    # emission distribution: residual max(p_a - q_a, 0) on a rejection
+    # (a < k), plain p_k on full acceptance (q = 0 row)
+    p_a = jnp.exp(logp[a])
+    q_a = jnp.where(a < k, jnp.exp(logq[jnp.minimum(a, k - 1)]), jnp.zeros((v,)))
+    res = jnp.clip(p_a - q_a, 0.0, None)
+    # p == q makes the residual empty, but then the acceptance prob was 1
+    # (up to rounding) — fall back to p_a for numerical safety
+    res = jnp.where(jnp.sum(res) > 1e-9, res, p_a)
     gumbel = -jnp.log(-jnp.log(jax.random.uniform(key_r, (v,)) + 1e-20) + 1e-20)
-    nxt = jnp.argmax(res_logp + gumbel).astype(jnp.int32)
+    log_res = jnp.where(res > 0.0, jnp.log(jnp.maximum(res, 1e-30)), -jnp.inf)
+    nxt = jnp.argmax(log_res + gumbel).astype(jnp.int32)
     tokens = jnp.concatenate([draft, jnp.zeros((1,), draft.dtype)])
     tokens = tokens.at[a].set(nxt)
     return a, tokens

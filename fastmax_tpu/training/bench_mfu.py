@@ -52,6 +52,7 @@ def run(
     micro_batch: int = 8,
     attn_alg: Optional[str] = None,
     remat: str = "full",
+    optimizer: str = "adamw",
     mu_dtype: str = "bfloat16",
     fsdp: int = 0,
     tp: int = 1,
@@ -82,16 +83,23 @@ def run(
     params = sh.shard_params(params, mesh, specs)
 
     loss_fn = make_bench_loss_fn(cfg, remat)
-    optimizer = optax.chain(
-        optax.clip_by_global_norm(1.0),
-        optax.adamw(3e-4, b1=0.9, b2=0.95, weight_decay=0.02,
-                    mu_dtype=jnp.dtype(mu_dtype)),
-    )
-    opt_state = optimizer.init(params)
+    # adamw is the reference recipe optimizer; adafactor (near-zero state,
+    # the TPU-native choice) and lion (one bf16 moment) trade optimizer HBM
+    # for activation headroom — e.g. they let remat="dots" fit where adamw's
+    # f32 second moment forces remat="full"
+    inner = {
+        "adamw": lambda: optax.adamw(3e-4, b1=0.9, b2=0.95, weight_decay=0.02,
+                                     mu_dtype=jnp.dtype(mu_dtype)),
+        "adafactor": lambda: optax.adafactor(3e-4),
+        "lion": lambda: optax.lion(3e-5, weight_decay=0.02,
+                                   mu_dtype=jnp.dtype(mu_dtype)),
+    }[optimizer]()
+    optimizer_tx = optax.chain(optax.clip_by_global_norm(1.0), inner)
+    opt_state = optimizer_tx.init(params)
 
     def step(params, opt_state, batch):
         loss, grads = jax.value_and_grad(loss_fn)(params, batch)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
+        updates, opt_state = optimizer_tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
     def many_steps(params, opt_state, batch, n):
@@ -142,6 +150,7 @@ def run(
     out = {
         "model": model_name,
         "remat": remat or "none",
+        "optimizer": optimizer,
         "attn_alg": cfg.attn_alg,
         "devices": n_dev,
         "device_kind": kind,

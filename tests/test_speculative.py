@@ -153,3 +153,107 @@ def test_speculative_sampling_eos(setup):
     # same key -> same sampled stream -> must stop at that eos
     assert got.shape[1] <= ref.shape[1]
     assert got[0, -1] == eos or got.shape[1] == 64
+
+
+# ----------------------------------------------------- draft-model decoder
+
+
+@pytest.fixture(scope="module")
+def draft_setup(setup):
+    from fastmax_tpu.inference.speculative import DraftSpeculativeDecoder
+
+    cfg, eng = setup
+    dcfg = Config(block_size=128, vocab_size=96, padded_vocab_size=96,
+                  n_layer=1, n_head=2, n_embd=32, rotary_percentage=1.0)
+    dparams = gpt.init_params(dcfg, jax.random.PRNGKey(7), jnp.float32)
+    deng = InferenceEngine(dcfg, dparams, max_seq_length=128, batch_size=1)
+    return eng, deng, DraftSpeculativeDecoder
+
+
+def test_draft_spec_greedy_parity(draft_setup):
+    """With ANY draft model, temperature-0 output is exactly the target's
+    greedy decode (f32 CPU: no near-ties)."""
+    eng, deng, Draft = draft_setup
+    spec = Draft(eng, deng, k=4)
+    for seed in (0, 1):
+        prompt = jnp.asarray(np.random.default_rng(seed).integers(1, 96, (16,)), jnp.int32)
+        ref = np.asarray(eng.generate(prompt, 80, temperature=0.0,
+                                      key=jax.random.PRNGKey(9)))
+        got = np.asarray(spec.generate(prompt, 80))
+        np.testing.assert_array_equal(got, ref)
+        assert spec.last_steps <= 80 - 16
+
+
+def test_draft_spec_self_draft_accepts_everything(draft_setup):
+    """Draft == target: every draft token is the target's own argmax, so
+    acceptance is total and each verify step decides k+1 tokens."""
+    eng, _, Draft = draft_setup
+    spec = Draft(eng, eng, k=4)
+    prompt = jnp.asarray(np.random.default_rng(3).integers(1, 96, (16,)), jnp.int32)
+    ref = np.asarray(eng.generate(prompt, 66, temperature=0.0,
+                                  key=jax.random.PRNGKey(9)))
+    got = np.asarray(spec.generate(prompt, 66))
+    np.testing.assert_array_equal(got, ref)
+    # 49 tokens to decide after the first -> ceil(49/5) = 10 verify steps
+    assert spec.last_steps <= 11
+    assert spec.last_accepted >= spec.last_steps * 3
+
+
+def test_draft_spec_sampling_runs(draft_setup):
+    eng, deng, Draft = draft_setup
+    spec = Draft(eng, deng, k=3)
+    prompt = jnp.asarray(np.random.default_rng(5).integers(1, 96, (12,)), jnp.int32)
+    key = jax.random.PRNGKey(21)
+    o1 = np.asarray(spec.generate(prompt, 60, temperature=0.8, top_k=30, key=key))
+    o2 = np.asarray(spec.generate(prompt, 60, temperature=0.8, top_k=30, key=key))
+    np.testing.assert_array_equal(o1, o2)
+    assert o1.shape[1] <= 60 and (o1 >= 0).all() and (o1 < 96).all()
+    np.testing.assert_array_equal(o1[0, :12], np.asarray(prompt))
+
+
+def test_speculative_accept_logq_distribution():
+    """General rejection rule: drafting d_0 ~ q_0 then accept/resample must
+    emit the first token marginally distributed as p_0 for q != p."""
+    from fastmax_tpu.ops.sampling import filtered_log_probs, speculative_accept_logq
+
+    k, v, temp = 2, 12, 1.0
+    rng = np.random.default_rng(2)
+    logits_p = jnp.asarray(rng.normal(size=(k + 1, v)) * 1.5, jnp.float32)
+    logits_q = jnp.asarray(rng.normal(size=(k, v)) * 1.5, jnp.float32)
+    logq = filtered_log_probs(logits_q, temp)
+    p = np.exp(np.asarray(filtered_log_probs(logits_p, temp)))
+    q = np.exp(np.asarray(logq))
+
+    def trial(key):
+        kd, ka = jax.random.split(key)
+        g = -jnp.log(-jnp.log(jax.random.uniform(kd, (k, v)) + 1e-20) + 1e-20)
+        draft = jnp.argmax(logq + g, axis=-1).astype(jnp.int32)  # d_i ~ q_i
+        a, tokens = speculative_accept_logq(logits_p, draft, logq, ka, temp)
+        return tokens[0], a
+
+    n = 40_000
+    keys = jax.random.split(jax.random.PRNGKey(0), n)
+    tok0, a = jax.vmap(trial)(keys)
+    emp = np.bincount(np.asarray(tok0), minlength=v) / n
+    np.testing.assert_allclose(emp, p[0], atol=4.5 / np.sqrt(n))
+    # acceptance rate of d_0 equals sum_d q(d) min(1, p(d)/q(d))
+    expect_acc = np.sum(np.minimum(p[0], q[0]))
+    np.testing.assert_allclose((np.asarray(a) >= 1).mean(), expect_acc,
+                               atol=4.5 / np.sqrt(n))
+
+
+def test_draft_spec_guards(draft_setup):
+    eng, deng, Draft = draft_setup
+    spec = Draft(eng, deng, k=8)
+    with pytest.raises(ValueError, match="headroom"):
+        spec.generate(jnp.asarray([1, 2, 3], jnp.int32), 128)
+    with pytest.raises(ValueError, match=">= 2"):
+        spec.generate(jnp.asarray([1], jnp.int32), 32)
+    bad_cfg = Config(block_size=64, vocab_size=50, padded_vocab_size=50,
+                     n_layer=1, n_head=2, n_embd=32, rotary_percentage=1.0)
+    bad = InferenceEngine(
+        bad_cfg, gpt.init_params(bad_cfg, jax.random.PRNGKey(0), jnp.float32),
+        max_seq_length=64, batch_size=1,
+    )
+    with pytest.raises(ValueError, match="vocab"):
+        Draft(eng, bad, k=4)
