@@ -304,14 +304,21 @@ def apply_attn(
                     kv_cache["v_scale"], v_new_scale, (zero, zero, input_pos)
                 )
         else:
-            # per-slot positions (continuous batching): T == 1, scatter each
-            # batch row's token at its own position
-            rows = jnp.arange(b)
-            k_cache = k_cache.at[rows, :, input_pos, :].set(k_new[:, :, 0, :].astype(k_cache.dtype))
-            v_cache = v_cache.at[rows, :, input_pos, :].set(v_new[:, :, 0, :].astype(v_cache.dtype))
+            # per-slot positions (continuous batching): scatter row b's T
+            # tokens at its own positions input_pos[b]..input_pos[b]+T-1
+            # (advanced indices split by the ":" slice put (B, T) first, so
+            # updates are the (B, T, G, hs) transpose of the new k/v)
+            rows = jnp.arange(b)[:, None]  # (B, 1)
+            pos = input_pos[:, None] + jnp.arange(t)  # (B, T)
+            k_cache = k_cache.at[rows, :, pos, :].set(
+                k_new.transpose(0, 2, 1, 3).astype(k_cache.dtype)
+            )
+            v_cache = v_cache.at[rows, :, pos, :].set(
+                v_new.transpose(0, 2, 1, 3).astype(v_cache.dtype)
+            )
             if quantized_cache:
-                ks = kv_cache["k_scale"].at[rows, :, input_pos].set(k_new_scale[:, :, 0])
-                vs = kv_cache["v_scale"].at[rows, :, input_pos].set(v_new_scale[:, :, 0])
+                ks = kv_cache["k_scale"].at[rows, :, pos].set(k_new_scale.transpose(0, 2, 1))
+                vs = kv_cache["v_scale"].at[rows, :, pos].set(v_new_scale.transpose(0, 2, 1))
         if quantized_cache:
             new_cache = {"k": k_cache, "v": v_cache, "k_scale": ks, "v_scale": vs}
             k = _dequantize_kv(k_cache, ks, act_dtype)
@@ -325,6 +332,7 @@ def apply_attn(
         cfg.attn_alg == "quadratic"
         and new_cache is not None
         and t > 1
+        and input_pos.ndim == 0
         and jax.default_backend() == "tpu"
     ):
         # KV-cache prefill on TPU: flash attention over the padded cache
@@ -441,12 +449,13 @@ def forward(
         input_pos = jnp.asarray(input_pos, jnp.int32)
         s = kv_cache["k"].shape[3]
         if input_pos.ndim == 1:
-            # per-slot decode positions (continuous batching); T must be 1
-            if t != 1:
-                raise ValueError("vector input_pos requires single-token decode")
-            cos = rope_cos[input_pos][:, None, None, :]  # (B, 1, 1, nre)
-            sin = rope_sin[input_pos][:, None, None, :]
-            mask = (jnp.arange(s)[None, :] <= input_pos[:, None])[:, None, None, :]
+            # per-slot positions (continuous batching): token i of row b sits
+            # at absolute position input_pos[b] + i (T > 1 = batched
+            # speculative verify / chunked per-slot prefill)
+            qpos = input_pos[:, None] + jnp.arange(t)  # (B, T)
+            cos = rope_cos[qpos][:, None]  # (B, 1, T, nre)
+            sin = rope_sin[qpos][:, None]
+            mask = jnp.arange(s)[None, None, None, :] <= qpos[:, None, :, None]
         else:
             zero = jnp.zeros_like(input_pos)
             cos = jax.lax.dynamic_slice(rope_cos, (input_pos, zero), (t, cfg.rope_n_elem))
@@ -660,10 +669,15 @@ def forward_hidden(
     idx: jnp.ndarray,
     *,
     remat: bool = False,
+    unroll: int = 1,
 ) -> jnp.ndarray:
     """Full-sequence forward returning final hidden states (post-ln_f),
     without the lm_head — pair with utils.loss.chunked_cross_entropy for the
-    reference's lm_head_chunk_size training pattern (lora.py:525-550)."""
+    reference's lm_head_chunk_size training pattern (lora.py:525-550).
+
+    ``unroll``: layer-scan unroll factor — gives XLA >1 block bodies per scan
+    iteration to fuse/overlap across (a per-op-overhead lever; numerics are
+    unchanged)."""
     rope_cache = build_rope_cache(
         cfg.block_size, cfg.rope_n_elem, cfg.rope_base, cfg.rope_condense_ratio
     )
@@ -678,5 +692,5 @@ def forward_hidden(
         return y, None
 
     body = _remat_wrap(body, remat)
-    x, _ = jax.lax.scan(body, x, params["blocks"])
+    x, _ = jax.lax.scan(body, x, params["blocks"], unroll=unroll)
     return apply_norm(x, params["ln_f"], cfg.norm_class_name, cfg.norm_eps, cfg.add_unit_offset)

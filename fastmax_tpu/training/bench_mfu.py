@@ -34,13 +34,14 @@ from ..utils.flops import estimate_flops, device_peak_flops
 from ..utils.profiling import device_memory_stats
 
 
-def make_bench_loss_fn(cfg: Config, remat: bool, lm_head_chunk: int = 128):
+def make_bench_loss_fn(cfg: Config, remat: bool, lm_head_chunk: int = 128,
+                       unroll: int = 1):
     """Chunked-CE loss (the finetune recipes' memory-bounded pattern)."""
     from ..utils.loss import chunked_cross_entropy
 
     def loss_fn(params, batch):
         inputs, targets = batch[:, :-1], batch[:, 1:]
-        hidden = gpt.forward_hidden(params, cfg, inputs, remat=remat)
+        hidden = gpt.forward_hidden(params, cfg, inputs, remat=remat, unroll=unroll)
         return chunked_cross_entropy(hidden, params["lm_head"], targets, lm_head_chunk)
 
     return loss_fn
@@ -57,6 +58,8 @@ def run(
     fsdp: int = 0,
     tp: int = 1,
     iters: int = 10,
+    lm_head_chunk: int = 128,
+    unroll: int = 1,
     trace_dir: Optional[str] = None,
 ) -> dict:
     """Measure train-step MFU. fsdp=0 means shard over all visible devices
@@ -82,7 +85,7 @@ def run(
     specs = sh.param_specs(cfg, params, tp=tp > 1, fsdp_size=fsdp)
     params = sh.shard_params(params, mesh, specs)
 
-    loss_fn = make_bench_loss_fn(cfg, remat)
+    loss_fn = make_bench_loss_fn(cfg, remat, lm_head_chunk, unroll)
     # adamw is the reference recipe optimizer; adafactor (near-zero state,
     # the TPU-native choice) and lion (one bf16 moment) trade optimizer HBM
     # for activation headroom — e.g. they let remat="dots" fit where adamw's
@@ -150,6 +153,8 @@ def run(
     out = {
         "model": model_name,
         "remat": remat or "none",
+        "unroll": unroll,
+        "lm_head_chunk": lm_head_chunk,
         "optimizer": optimizer,
         "attn_alg": cfg.attn_alg,
         "devices": n_dev,

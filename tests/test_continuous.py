@@ -132,3 +132,108 @@ def test_linear_alg_continuous_batching(model):
     results = batcher.run_to_completion()
     assert results[r1] == solo(p1)
     assert results[r2] == solo(p2)
+
+
+# ------------------------------------------------- speculative batching
+
+
+def test_speculative_batched_greedy_parity(model):
+    """speculative_k batcher emits exactly the non-speculative greedy tokens
+    for every slot — repetitive and random prompts, joining mid-flight."""
+    cfg, params = model
+    p1 = np.tile([3, 4, 5, 6], 5).astype(np.int32)  # repetitive: high accept
+    p2 = np.arange(20, 37, dtype=np.int32)
+    p3 = np.asarray([5, 50, 7, 9], np.int32)
+    solo = {i: reference_greedy(cfg, params, p, 14) for i, p in enumerate((p1, p2, p3))}
+
+    batcher = ContinuousBatcher(cfg, params, n_slots=2, max_seq_length=128,
+                                speculative_k=4)
+    r1 = batcher.submit(p1, 14, temperature=0.0)
+    r2 = batcher.submit(p2, 14, temperature=0.0)
+    for _ in range(2):
+        batcher.step()
+    r3 = batcher.submit(p3, 14, temperature=0.0)
+    results = batcher.run_to_completion()
+    assert results[r1] == solo[0]
+    assert results[r2] == solo[1]
+    assert results[r3] == solo[2]
+
+
+def test_speculative_batched_eos(model):
+    cfg, params = model
+    prompt = np.arange(1, 11, dtype=np.int32)
+    ref = reference_greedy(cfg, params, prompt, 20)
+    eos = ref[4]
+    batcher = ContinuousBatcher(cfg, params, n_slots=1, max_seq_length=128,
+                                speculative_k=6)
+    rid = batcher.submit(prompt, 20, temperature=0.0, eos_id=eos)
+    results = batcher.run_to_completion()
+    assert results[rid] == ref[:5]
+    # slot freed: a follow-up request still runs and matches
+    rid2 = batcher.submit(prompt, 3, temperature=0.0)
+    results = batcher.run_to_completion()
+    assert results[rid2] == ref[:3]
+
+
+def test_speculative_batched_topk1_equals_greedy(model):
+    """temperature>0 with top_k=1 exercises the full sampled verify path
+    (per-slot filter, acceptance test, residual resample) yet must emit
+    exactly the greedy tokens — the filtered distribution is a point mass."""
+    cfg, params = model
+    p1 = np.tile([3, 4, 5, 6], 5).astype(np.int32)
+    p2 = np.arange(20, 31, dtype=np.int32)
+    solo = {i: reference_greedy(cfg, params, p, 12) for i, p in enumerate((p1, p2))}
+    batcher = ContinuousBatcher(cfg, params, n_slots=2, max_seq_length=128,
+                                speculative_k=4)
+    r1 = batcher.submit(p1, 12, temperature=1.3, top_k=1)
+    r2 = batcher.submit(p2, 12, temperature=0.7, top_k=1)
+    results = batcher.run_to_completion()
+    assert results[r1] == solo[0]
+    assert results[r2] == solo[1]
+
+
+def test_speculative_batched_hot_sampling_runs(model):
+    """Unrestricted hot sampling under batched speculation: correct token
+    counts, in-vocab tokens, and it actually speculates (fewer verify steps
+    than tokens on repetitive text)."""
+    cfg, params = model
+    p1 = np.tile([3, 4, 5, 6], 5).astype(np.int32)
+    batcher = ContinuousBatcher(cfg, params, n_slots=2, max_seq_length=128,
+                                speculative_k=4)
+    r1 = batcher.submit(p1, 20, temperature=1.0)
+    r2 = batcher.submit(np.arange(1, 9, dtype=np.int32), 20, temperature=0.8, top_k=20)
+    results = batcher.run_to_completion()
+    for rid in (r1, r2):
+        assert len(results[rid]) == 20
+        assert all(0 <= t < cfg.padded_vocab_size for t in results[rid])
+
+
+def test_speculative_rejects_linear_algs(model):
+    cfg, params = model
+    import copy
+
+    cfg2 = copy.copy(cfg)
+    cfg2.attn_alg = "fastmax"
+    with pytest.raises(ValueError, match="quadratic"):
+        ContinuousBatcher(cfg2, params, n_slots=2, speculative_k=4)
+
+
+def test_multi_token_vector_pos_forward_matches_scalar(model):
+    """The T>1 vector-input_pos forward (the batched-verify primitive):
+    each row must equal the same tokens run with a scalar position."""
+    cfg, params = model
+    cache = gpt.init_kv_cache(cfg, 2, 64, jnp.float32)
+    rng = np.random.default_rng(0)
+    # distinct per-row prefixes written at pos 0
+    pre = jnp.asarray(rng.integers(1, 96, (2, 10)), jnp.int32)
+    _, cache = gpt.forward(params, cfg, pre, input_pos=0, kv_cache=cache)
+    toks = jnp.asarray(rng.integers(1, 96, (2, 5)), jnp.int32)
+    # scalar path, one row at a time (positions 10 and 7)
+    outs = []
+    for b, pos in ((0, 10), (1, 7)):
+        c1 = jax.tree.map(lambda x: x[:, b : b + 1], cache)
+        lg, _ = gpt.forward(params, cfg, toks[b : b + 1], input_pos=pos, kv_cache=c1)
+        outs.append(np.asarray(lg[0]))
+    lg2, _ = gpt.forward(params, cfg, toks, input_pos=jnp.asarray([10, 7]), kv_cache=cache)
+    np.testing.assert_allclose(np.asarray(lg2[0]), outs[0], atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(lg2[1]), outs[1], atol=1e-4, rtol=1e-4)

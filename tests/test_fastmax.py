@@ -186,3 +186,38 @@ def test_custom_vjp_ragged_tail_grads(qkv):
     gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b2 in zip(gl, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b2), atol=5e-2, rtol=5e-2)
+
+
+@pytest.mark.parametrize("p", [1, 2])
+def test_head_grouped_matches_ungrouped(qkv, p):
+    """head_group splits the (independent) head axis into sequential
+    lax.map groups to bound the p=2 scan-state working set; outputs and
+    gradients must be identical to the all-at-once path."""
+    q, k, v = qkv
+
+    def loss(fn_kwargs):
+        def f(q, k, v):
+            o = fastmax(q, k, v, mask=True, p=p, chunk=64, **fn_kwargs)
+            return jnp.sum(o * jnp.cos(jnp.arange(o.size, dtype=o.dtype).reshape(o.shape)))
+        return f
+
+    o1 = fastmax(q, k, v, mask=True, p=p, chunk=64, head_group=1)
+    o3 = fastmax(q, k, v, mask=True, p=p, chunk=64, head_group=3)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o3), atol=1e-5, rtol=1e-5)
+
+    g1 = jax.grad(loss({"head_group": 1}), argnums=(0, 1, 2))(q, k, v)
+    g3 = jax.grad(loss({"head_group": 3}), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g3):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)
+
+
+def test_auto_head_groups_divides_heads():
+    from fastmax_tpu.ops.fastmax import _auto_head_groups
+
+    assert _auto_head_groups(2, 3, 16, p=1) == 1
+    assert _auto_head_groups(2, 3, 16, p=2) == 1  # tiny state: no grouping
+    # 16*32*64^3 f32 = 512 MB -> 8 groups at the 64 MB default limit
+    assert _auto_head_groups(16, 32, 64, p=2) == 8
+    # always a divisor of h
+    g = _auto_head_groups(16, 12, 64, p=2)
+    assert 12 % g == 0 and g > 1
