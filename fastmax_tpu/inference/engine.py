@@ -126,6 +126,7 @@ class InferenceEngine:
         batch_size: int = 1,
         cache_dtype=None,
         weights_mode: str = "auto",
+        scan_unroll: int = 1,
     ):
         """weights_mode (for quantized params):
         "quantized"     keep packed weights, dequantize inside each matmul
@@ -143,6 +144,7 @@ class InferenceEngine:
         self.cfg = cfg
         params = self.prepare_params(params, weights_mode)
         self.params = params
+        self.scan_unroll = scan_unroll
         self.max_seq_length = min(max_seq_length or cfg.block_size, cfg.block_size)
         self.batch_size = batch_size
         # activations follow the embedding table's dtype (quantized models
@@ -238,6 +240,7 @@ class InferenceEngine:
         return gpt.forward(
             params, self.cfg, tokens,
             input_pos=input_pos, kv_cache=cache, rope_cache=self.rope_cache,
+            unroll=self.scan_unroll,
         )
 
     def _prefill_impl(self, params, tokens, cache, input_pos):

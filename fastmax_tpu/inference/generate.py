@@ -39,8 +39,14 @@ def load_and_prepare(
     precision: str = "bfloat16",
     tp: int = 1,
     fsdp: int = 1,
+    gptq_calib_tokens=None,
 ):
-    """Load config+params (+finetuned deltas), quantize, shard."""
+    """Load config+params (+finetuned deltas), quantize, shard.
+
+    gptq_calib_tokens: (B, T) int token ids — when given with a 4-bit
+    ``quantize`` mode, weights are quantized with GPTQ error compensation
+    against these calibration activations (ops/gptq.py) instead of plain
+    round-to-nearest."""
     from ..utils.checkpoint import load_model_params
 
     checkpoint_dir = Path(checkpoint_dir)
@@ -67,9 +73,20 @@ def load_and_prepare(
         params = apply_finetuned(params, cfg, Path(finetuned_path), method, dtype)
 
     if quantize:
-        from ..ops.quant import quantize_model
+        four_bit = quantize in ("gptq.int4", "bnb.nf4", "bnb.nf4-dq",
+                                "bnb.fp4", "bnb.fp4-dq")
+        if gptq_calib_tokens is not None and four_bit:
+            from ..ops.gptq import gptq_quantize_model
 
-        params = quantize_model(params, quantize)
+            kind = quantize.split(".")[1].split("-")[0]
+            params = gptq_quantize_model(
+                params, cfg, gptq_calib_tokens, kind=kind,
+                double_quant=quantize.endswith("-dq"),
+            )
+        else:
+            from ..ops.quant import quantize_model
+
+            params = quantize_model(params, quantize)
 
     if tp > 1 or fsdp > 1:
         from ..parallel import sharding as sh
@@ -134,6 +151,7 @@ def main(
     kv_cache_dtype: Optional[str] = None,
     speculative_k: int = 0,
     draft_checkpoint_dir: Optional[Path] = None,
+    gptq_calib: Optional[Path] = None,
 ) -> None:
     """Generate text samples from a checkpoint (ref generate/base.py:96-187).
 
@@ -143,14 +161,24 @@ def main(
     per verify step (greedy at temperature 0; otherwise exact speculative
     sampling via the rejection rule). Drafts come from prompt lookup, or
     from a small draft model when --draft_checkpoint_dir is given (must
-    share the tokenizer/vocab, e.g. pythia-14m drafting for pythia-410m).
+    share the tokenizer/vocab, e.g. pythia-14m drafting for pythia-410m);
+    gptq_calib: path to a plain-text calibration file — with a 4-bit
+    --quantize mode, quantizes with GPTQ error compensation against the
+    model's own activations on this text (ops/gptq.py).
     """
+    tokenizer = Tokenizer(Path(checkpoint_dir))
+    calib_tokens = None
+    if gptq_calib is not None:
+        text = Path(gptq_calib).read_text()
+        ids = tokenizer.encode(text)
+        cfg0 = Config.from_checkpoint(Path(checkpoint_dir))
+        t = min(len(ids), cfg0.block_size)
+        calib_tokens = np.asarray(ids[:t], np.int32)[None]
     cfg, params = load_and_prepare(
         checkpoint_dir, quantize=quantize, attn_alg=attn_alg,
         finetuned_path=finetuned_path, method=method, precision=precision,
-        tp=tp, fsdp=fsdp,
+        tp=tp, fsdp=fsdp, gptq_calib_tokens=calib_tokens,
     )
-    tokenizer = Tokenizer(Path(checkpoint_dir))
     if prompt_style:
         from ..data.prompts import STYLES
 

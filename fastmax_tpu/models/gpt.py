@@ -429,12 +429,15 @@ def forward(
     rope_cache: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     max_seq_length: Optional[int] = None,
     remat: bool = False,
+    unroll: int = 1,
 ) -> Tuple[jnp.ndarray, Optional[dict]]:
     """Run the model.
 
     idx: (B, T) int32 token ids.
     input_pos: scalar int — position of idx[:, 0] in the sequence. Requires
       ``kv_cache``. None means full-sequence training/eval forward (no cache).
+    unroll: layer-scan unroll factor (per-op-overhead lever; numerics
+      unchanged).
     Returns (logits (B, T, padded_vocab), updated kv_cache or None).
     """
     b, t = idx.shape
@@ -480,7 +483,7 @@ def forward(
             y, cache_l = apply_block(bp, carry, cfg, cos, sin, mask, cache_l, input_pos)
             return y, cache_l
 
-        x, new_cache = jax.lax.scan(body, x, (params["blocks"], kv_cache))
+        x, new_cache = jax.lax.scan(body, x, (params["blocks"], kv_cache), unroll=unroll)
     else:
 
         def body(carry, bp):
@@ -488,7 +491,7 @@ def forward(
             return y, None
 
         body = _remat_wrap(body, remat)
-        x, _ = jax.lax.scan(body, x, params["blocks"])
+        x, _ = jax.lax.scan(body, x, params["blocks"], unroll=unroll)
         new_cache = None
 
     x = apply_norm(x, params["ln_f"], cfg.norm_class_name, cfg.norm_eps, cfg.add_unit_offset)

@@ -21,6 +21,7 @@ granularity (a memory win for GQA models like Llama-2-70B/Mistral).
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax.numpy as jnp
@@ -30,8 +31,10 @@ from . import fastmax as fm
 NEG_INF = float("-inf")
 
 # full-sequence quadratic forwards at T >= this use the blockwise
-# (flash-style) kernel instead of dense (B, H, T, T) scores
-BLOCKWISE_MIN_T = 2048
+# (flash-style) kernel instead of dense (B, H, T, T) scores; env-overridable
+# because the right threshold is a per-chip HBM-vs-recompute trade (lowering
+# it lets large-batch seq-1024 training fit where dense scores OOM)
+BLOCKWISE_MIN_T = int(os.environ.get("FASTMAX_TPU_BLOCKWISE_MIN_T", 2048))
 
 
 def repeat_kv_heads(x: jnp.ndarray, n_head: int) -> jnp.ndarray:

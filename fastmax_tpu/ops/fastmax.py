@@ -318,7 +318,7 @@ _masked_chunked_vjp.defvjp(_mcv_fwd, _mcv_bwd)
 
 
 def _auto_head_groups(b: int, h: int, d: int, p: int,
-                      limit_bytes: int = 64 * 2**20) -> int:
+                      limit_bytes: int | None = None) -> int:
     """Head-group count bounding one group's p=2 scan-state working set.
 
     The masked scan (and its reversible backward) is independent per
@@ -327,7 +327,12 @@ def _auto_head_groups(b: int, h: int, d: int, p: int,
     axis into sequentially-processed groups (lax.map) caps the working set
     at ~limit_bytes per state instance without changing any math — this is
     what lets fastmax p=2 train at large batch on a 16 GB chip instead of
-    exhausting HBM. Returns a divisor of h."""
+    exhausting HBM. Returns a divisor of h. The 64 MB default is
+    env-overridable (FASTMAX_TPU_HEADGROUP_LIMIT, bytes)."""
+    if limit_bytes is None:
+        import os
+
+        limit_bytes = int(os.environ.get("FASTMAX_TPU_HEADGROUP_LIMIT", 64 * 2**20))
     if p != 2:
         return 1
     state_bytes = b * h * d * d * d * 4

@@ -219,3 +219,35 @@ def test_merge_lora_cli(tmp_path, checkpoint_dir):
     lm, _ = gpt.forward(merged_params, cfg2, idx)
     lu, _ = gpt.forward(lp, cfg, idx)
     np.testing.assert_allclose(np.asarray(lm), np.asarray(lu), atol=2e-4, rtol=1e-3)
+
+
+def test_generate_cli_gptq_calib(checkpoint_dir, capsys, tmp_path):
+    """--gptq_calib routes a 4-bit quantize through GPTQ error compensation."""
+    from fastmax_tpu.inference.generate import main
+
+    calib = tmp_path / "calib.txt"
+    calib.write_text("hello world this is a tiny tokenizer " * 4)
+    main(
+        prompt="hello", checkpoint_dir=checkpoint_dir, num_samples=1,
+        max_new_tokens=4, temperature=0.0, quantize="gptq.int4",
+        precision="float32", gptq_calib=calib,
+    )
+    assert "tokens/sec" in capsys.readouterr().err
+
+
+def test_engine_scan_unroll_parity(checkpoint_dir):
+    """scan_unroll only changes scheduling: greedy decode must be identical."""
+    from fastmax_tpu.inference.engine import InferenceEngine
+    from fastmax_tpu.models.config import Config
+    from fastmax_tpu.utils.checkpoint import load_model_params
+
+    cfg = Config.from_checkpoint(checkpoint_dir)
+    _, params = load_model_params(checkpoint_dir, cfg, jnp.float32)
+    prompt = jnp.asarray(np.arange(1, 9), jnp.int32)
+    outs = []
+    for unroll in (1, 2):
+        eng = InferenceEngine(cfg, params, max_seq_length=64, batch_size=1,
+                              scan_unroll=unroll)
+        outs.append(np.asarray(eng.generate(prompt, 24, temperature=0.0,
+                                            key=jax.random.PRNGKey(3))))
+    np.testing.assert_array_equal(outs[0], outs[1])
