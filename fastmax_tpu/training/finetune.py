@@ -3,7 +3,9 @@
 One CLI covering the reference's four finetune scripts (finetune/full.py,
 lora.py, adapter.py, adapter_v2.py — SURVEY.md §2.5), including QLoRA:
 ``--quantize bnb.nf4 --method lora`` quantizes the base weights and trains
-only the LoRA deltas, the reference's finetune/lora.py:38-177 flow.
+only the LoRA deltas, the reference's finetune/lora.py:38-177 flow; add
+``--gptq_calib true`` to quantize the base with GPTQ error compensation
+calibrated on the training data (ops/gptq.py) instead of round-to-nearest.
 
 Saves method-appropriate checkpoints: full state for --method full,
 delta-only (lora_filter / adapter_filter role) otherwise.
@@ -57,6 +59,7 @@ def setup(
     model_name: Optional[str] = None,
     data_path: Optional[Path] = None,
     quantize: Optional[str] = None,
+    gptq_calib: bool = False,
     attn_alg: Optional[str] = None,
     precision: str = "float32",
     logger_name: str = "csv",
@@ -94,9 +97,28 @@ def setup(
         params = gpt.init_params(cfg, jax.random.PRNGKey(seed), dtype)
 
     if quantize:
-        from ..ops.quant import quantize_model
+        four_bit = quantize in ("gptq.int4", "bnb.nf4", "bnb.nf4-dq",
+                                "bnb.fp4", "bnb.fp4-dq")
+        if gptq_calib and four_bit and data_path is not None:
+            # GPTQ the base against the training distribution itself: the
+            # frozen weights are only ever multiplied by activations of this
+            # data, so it is the ideal calibration set (ops/gptq.py)
+            from ..data.lm_datasets import SFTDataset
+            from ..ops.gptq import gptq_quantize_model
 
-        params = quantize_model(params, quantize)
+            calib_ds = SFTDataset.load(Path(data_path), seed)
+            calib, _ = calib_ds.sample_batch(
+                4, min(train.max_seq_length or cfg.block_size, cfg.block_size)
+            )
+            kind = quantize.split(".")[1].split("-")[0]
+            params = gptq_quantize_model(
+                params, cfg, np.asarray(calib, np.int32), kind=kind,
+                double_quant=quantize.endswith("-dq"),
+            )
+        else:
+            from ..ops.quant import quantize_model
+
+            params = quantize_model(params, quantize)
 
     # ---- attach PEFT parameters + trainable mask
     key = jax.random.PRNGKey(seed + 1)

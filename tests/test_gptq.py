@@ -102,3 +102,27 @@ def test_gptq_double_quant_roundtrip():
     assert "absmax_q" in g and "absmax" not in g
     deq = np.asarray(quant.dequantize(g, jnp.float32))
     assert np.linalg.norm(deq - w) / np.linalg.norm(w) < 0.2
+
+
+def test_gptq_model_gptneox_style():
+    """GPTQ on the pythia block shape: parallel residual, biases, GptNeoxMLP
+    — exercises the fc branch and bias carry-through."""
+    cfg = Config(
+        name="gptq-neox", block_size=64, vocab_size=128, padded_vocab_size=128,
+        n_layer=2, n_head=4, n_embd=64, rotary_percentage=0.25,
+        parallel_residual=True, bias=True, _norm_class="LayerNorm",
+        _mlp_class="GptNeoxMLP", intermediate_size=256,
+    )
+    params = gpt.init_params(cfg, jax.random.PRNGKey(1), jnp.float32)
+    tokens = jnp.asarray(np.random.default_rng(8).integers(1, 128, (2, 48)), jnp.int32)
+
+    dense, _ = gpt.forward(params, cfg, tokens)
+    qp = gptq_quantize_model(params, cfg, tokens, kind="nf4")
+    gq, _ = gpt.forward(qp, cfg, tokens)
+    rp = quant.quantize_model(params, "bnb.nf4")
+    gr, _ = gpt.forward(rp, cfg, tokens)
+    err_gptq = float(jnp.mean(jnp.abs(gq - dense)))
+    err_rtn = float(jnp.mean(jnp.abs(gr - dense)))
+    assert np.isfinite(err_gptq) and err_gptq < err_rtn, (err_gptq, err_rtn)
+    # biases survive quantization
+    assert "bias" in qp["blocks"]["attn"]["attn"]

@@ -203,3 +203,33 @@ def test_remat_policies_same_grads():
 
     with pytest.raises(ValueError, match="remat"):
         loss(params, "bogus")
+
+
+def test_finetune_qlora_gptq_calibrated(tmp_path, tiny_registry_entry):
+    """QLoRA with --gptq_calib: the base quantizes with GPTQ error
+    compensation against a training-data batch, then trains normally."""
+    from fastmax_tpu.training import finetune
+
+    rng = np.random.default_rng(1)
+    examples = []
+    for _ in range(16):
+        n = int(rng.integers(10, 30))
+        ids = rng.integers(1, 250, size=n)
+        examples.append({"input_ids": ids, "labels": ids.copy()})
+    data_path = tmp_path / "train.npz"
+    np.savez_compressed(data_path, examples=np.asarray(examples, dtype=object))
+
+    out = tmp_path / "out_gptq"
+    finetune.setup(
+        method="lora",
+        model_name=tiny_registry_entry,
+        data_path=data_path,
+        quantize="gptq.int4",
+        gptq_calib=True,
+        train=TrainArgs(global_batch_size=2, micro_batch_size=2, max_iters=4,
+                        learning_rate=1e-2, save_interval=100, log_interval=2,
+                        lr_warmup_steps=2, max_seq_length=64),
+        eval=EvalArgs(interval=1000),
+        io=IOArgs(out_dir=out),
+    )
+    assert (out / "lora_weights.safetensors").is_file()
