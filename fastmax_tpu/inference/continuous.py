@@ -24,6 +24,24 @@ temperature 0 emitted tokens match plain greedy decode exactly; at
 temperature > 0 they follow the Leviathan rejection rule (see
 inference/speculative.py for the cache-consistency argument — it is
 per-slot positional, so it holds unchanged under slotting).
+
+``decode_quantum = Q > 1`` runs Q decode steps per scheduler sync as one
+on-device ``lax.scan`` (every slot advances Q tokens; the host admits and
+retires only at quantum boundaries). One jit dispatch then amortizes the
+host round trip over Q tokens — the dominant cost on high-dispatch-latency
+links (a tunneled chip pays ~tens of ms per dispatch). Slots that hit eos
+or their budget mid-quantum waste their remaining lane steps; the extra
+cache rows they wrote are stale-but-masked, exactly like rejected
+speculative drafts.
+
+``prefix_cache_size > 0`` enables prefix caching (quadratic path only):
+each admitted prompt's KV rows are kept in an LRU on the host, and a new
+request whose prompt starts with a cached prompt skips prefill for the
+shared prefix — its rows are copied into the slot and only the suffix runs
+through the model. The serving pattern this pays for is a long shared
+system prompt with short per-request suffixes. Attention masks by absolute
+position, so reused rows are bit-identical to recomputed ones (exactness
+tested against the uncached batcher).
 """
 
 from __future__ import annotations
@@ -64,6 +82,9 @@ class ContinuousBatcher:
         prefill_bucket: int = 128,
         weights_mode: str = "auto",
         speculative_k: int = 0,
+        prefix_cache_size: int = 0,
+        cache_dtype=None,
+        decode_quantum: int = 1,
     ):
         from .engine import InferenceEngine
 
@@ -73,8 +94,20 @@ class ContinuousBatcher:
         self.max_seq_length = min(max_seq_length or cfg.block_size, cfg.block_size)
         self.prefill_bucket = prefill_bucket
         self.speculative_k = int(speculative_k)
-        # a speculative verify writes k+1 cache rows past each slot's position
-        self._headroom = self.speculative_k + 1
+        self.decode_quantum = int(decode_quantum)
+        if self.speculative_k and self.decode_quantum > 1:
+            raise ValueError(
+                "decode_quantum and speculative_k are mutually exclusive "
+                "(speculation needs host drafts between verify steps)"
+            )
+        # a speculative verify writes k+1 cache rows past each slot's
+        # position; a quantum writes Q rows
+        self._headroom = max(self.speculative_k + 1, self.decode_quantum)
+        self.prefix_cache_size = int(prefix_cache_size)
+        from collections import OrderedDict
+
+        self._prefix_cache: "OrderedDict[bytes, dict]" = OrderedDict()
+        self.prefix_cache_hits = 0  # diagnostics: tokens skipped via reuse
         self.rope = build_rope_cache(
             self.max_seq_length, cfg.rope_n_elem, cfg.rope_base, cfg.rope_condense_ratio
         )
@@ -86,6 +119,10 @@ class ContinuousBatcher:
                 "(quadratic) path: linear-attention running state cannot "
                 "roll back rejected drafts"
             )
+        if self.prefix_cache_size and self._linear_alg:
+            raise ValueError(
+                "prefix caching requires the KV-cache (quadratic) path"
+            )
         if self._linear_alg:
             # O(1)-state slots: one running linear-attention state per slot.
             # NOTE: linear-state prefill must see the EXACT prompt (padding
@@ -93,7 +130,9 @@ class ContinuousBatcher:
             # compiles per distinct prompt length instead of per bucket.
             self.cache = gpt.init_linear_cache(cfg, n_slots)
         else:
-            self.cache = gpt.init_kv_cache(cfg, n_slots, self.max_seq_length, dtype)
+            self.cache = gpt.init_kv_cache(
+                cfg, n_slots, self.max_seq_length, cache_dtype or dtype
+            )
         self.positions = np.zeros(n_slots, np.int32)  # next write position
         self.slots: List[Optional[Request]] = [None] * n_slots
         self.queue: List[Request] = []
@@ -101,17 +140,21 @@ class ContinuousBatcher:
         self._key = jax.random.PRNGKey(0)
 
         # single-sequence prefill over a bucketed length; returns last logits
-        # and the new KV rows for the slot
-        def prefill(params, tokens, n_valid, cache_k_row, cache_v_row):
+        # and the new KV rows for the slot. ``p0`` (traced) is the absolute
+        # position of tokens[0] — 0 for a full prefill, the reused-prefix
+        # length for a prefix-cache-hit suffix prefill (one compile serves
+        # every offset).
+        def prefill(params, tokens, n_valid, row_cache, p0):
             # tokens (1, Tb) padded; run as an independent batch-1 model pass
-            row_cache = {"k": cache_k_row, "v": cache_v_row}
+            # (row_cache is the slot's full cache pytree — k/v plus the int8
+            # scale planes when the cache is quantized)
             logits, row_cache = gpt.forward(
-                params, cfg, tokens, input_pos=0, kv_cache=row_cache, rope_cache=self.rope
+                params, cfg, tokens, input_pos=p0, kv_cache=row_cache, rope_cache=self.rope
             )
             last = jnp.take_along_axis(
-                logits, (n_valid - 1)[None, None, None].astype(jnp.int32), axis=1
+                logits, (n_valid - p0 - 1)[None, None, None].astype(jnp.int32), axis=1
             )[:, 0]
-            return last, row_cache["k"], row_cache["v"]
+            return last, row_cache
 
         # NOTE: no donation here — an identity slice (n_slots == 1) can alias
         # the whole cache, and donating it would delete the live cache
@@ -145,21 +188,49 @@ class ContinuousBatcher:
                 )
             logits = logits[:, -1, :].astype(jnp.float32)
             greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            # per-slot top-k threshold: the k-th largest logit of each row
-            v = logits.shape[-1]
-            asc = jnp.sort(logits, axis=-1)
-            idx = jnp.clip(v - top_k, 0, v - 1)
-            kth = jnp.take_along_axis(asc, idx[:, None], axis=1)[:, 0]
-            gumbel = -jnp.log(-jnp.log(jax.random.uniform(key, logits.shape) + 1e-20) + 1e-20)
-            sampled = jnp.argmax(
-                jnp.where(logits < kth[:, None], -jnp.inf, logits)
-                / jnp.maximum(temperature[:, None], 1e-6) + gumbel,
-                axis=-1,
-            ).astype(jnp.int32)
-            nxt = jnp.where(temperature > 0, sampled, greedy)
+
+            def hot_sample():
+                # per-slot top-k threshold: the k-th largest logit per row
+                v = logits.shape[-1]
+                asc = jnp.sort(logits, axis=-1)
+                idx = jnp.clip(v - top_k, 0, v - 1)
+                kth = jnp.take_along_axis(asc, idx[:, None], axis=1)[:, 0]
+                gumbel = -jnp.log(
+                    -jnp.log(jax.random.uniform(key, logits.shape) + 1e-20) + 1e-20
+                )
+                sampled = jnp.argmax(
+                    jnp.where(logits < kth[:, None], -jnp.inf, logits)
+                    / jnp.maximum(temperature[:, None], 1e-6) + gumbel,
+                    axis=-1,
+                ).astype(jnp.int32)
+                return jnp.where(temperature > 0, sampled, greedy)
+
+            # all-greedy batches skip the (B, V) sort entirely — a real
+            # per-step cost when the decode step itself is ~10 ms
+            nxt = jax.lax.cond(jnp.any(temperature > 0), hot_sample, lambda: greedy)
             return nxt, cache
 
         self._step = jax.jit(step, donate_argnums=(1,))
+
+        def step_many(params, cache, tokens, positions, key, temperature, top_k):
+            """Q decode steps in one dispatch (see decode_quantum above).
+            Returns (toks (Q, B), cache)."""
+
+            def body(carry, _):
+                cache, tokens, positions, key = carry
+                key, sub = jax.random.split(key)
+                nxt, cache = step(params, cache, tokens, positions, None, sub,
+                                  temperature, top_k)
+                return (cache, nxt, positions + 1, key), nxt
+
+            (cache, _, _, _), toks = jax.lax.scan(
+                body, (cache, tokens, positions, key), None,
+                length=self.decode_quantum,
+            )
+            return toks, cache
+
+        if self.decode_quantum > 1:
+            self._step_many = jax.jit(step_many, donate_argnums=(1,))
 
         def step_spec(params, cache, tokens, positions, key, temperature, top_k):
             """Batched speculative verify: tokens (B, k+1) = [current, k
@@ -252,19 +323,33 @@ class ContinuousBatcher:
                             self.cache[key_].at[:, slot : slot + 1].set(state_row[key_])
                         )
                 else:
+                    row = {k: v[:, slot : slot + 1] for k, v in self.cache.items()}
+                    p0 = 0
+                    if self.prefix_cache_size:
+                        entry = self._prefix_lookup(req.prompt[:t])
+                        if entry is not None:
+                            p0 = entry["len"]
+                            row = {
+                                k: row[k].at[:, :, :, :p0].set(jnp.asarray(entry[k]))
+                                for k in row
+                            }
+                            self.prefix_cache_hits += p0
+                    n_suffix = t - p0
                     bucket = min(
-                        self.max_seq_length,
-                        ((t + self.prefill_bucket - 1) // self.prefill_bucket) * self.prefill_bucket,
+                        self.max_seq_length - p0,
+                        ((n_suffix + self.prefill_bucket - 1) // self.prefill_bucket)
+                        * self.prefill_bucket,
                     )
                     padded = np.zeros(bucket, np.int32)
-                    padded[:t] = req.prompt[:bucket]
-                    k_row = self.cache["k"][:, slot : slot + 1]
-                    v_row = self.cache["v"][:, slot : slot + 1]
-                    last, k_row, v_row = self._prefill(
-                        self.params, jnp.asarray(padded)[None], jnp.asarray(t), k_row, v_row
+                    padded[:n_suffix] = req.prompt[p0 : p0 + bucket][: n_suffix]
+                    last, row = self._prefill(
+                        self.params, jnp.asarray(padded)[None], jnp.asarray(t),
+                        row, jnp.asarray(p0),
                     )
-                    self.cache["k"] = self.cache["k"].at[:, slot : slot + 1].set(k_row)
-                    self.cache["v"] = self.cache["v"].at[:, slot : slot + 1].set(v_row)
+                    for k in self.cache:
+                        self.cache[k] = self.cache[k].at[:, slot : slot + 1].set(row[k])
+                    if self.prefix_cache_size:
+                        self._prefix_insert(req.prompt[:t], row)
                 self._key, sub = jax.random.split(self._key)
                 first = int(sample(last[0], sub, req.temperature, req.top_k))
                 req.generated.append(first)
@@ -281,6 +366,65 @@ class ContinuousBatcher:
         ) >= req.max_new_tokens or self.positions[slot] + self._headroom >= self.max_seq_length:
             req.done = True
             self.slots[slot] = None
+
+    def register_prefix(self, tokens: np.ndarray) -> None:
+        """Prefill and cache a shared prefix (e.g. a system prompt) without
+        occupying a slot: subsequent requests whose prompts start with it
+        skip its prefill entirely. Admitted prompts are also auto-cached in
+        full, which serves the multi-turn pattern (each follow-up turn
+        extends the previous full prompt)."""
+        if not self.prefix_cache_size:
+            raise ValueError("prefix_cache_size is 0: enable the prefix cache first")
+        tokens = np.asarray(tokens, np.int32)
+        t = len(tokens)
+        entry = self._prefix_lookup(np.concatenate([tokens, [0]]).astype(np.int32))
+        p0 = 0
+        row = {k: jnp.zeros_like(v[:, :1]) for k, v in self.cache.items()}
+        if entry is not None:
+            p0 = entry["len"]
+            row = {k: row[k].at[:, :, :, :p0].set(jnp.asarray(entry[k])) for k in row}
+        n_suffix = t - p0
+        bucket = min(
+            self.max_seq_length - p0,
+            ((n_suffix + self.prefill_bucket - 1) // self.prefill_bucket)
+            * self.prefill_bucket,
+        )
+        padded = np.zeros(bucket, np.int32)
+        padded[:n_suffix] = tokens[p0 : p0 + bucket][:n_suffix]
+        _, row = self._prefill(
+            self.params, jnp.asarray(padded)[None], jnp.asarray(t),
+            row, jnp.asarray(p0),
+        )
+        self._prefix_insert(tokens, row)
+
+    def _prefix_lookup(self, prompt: np.ndarray):
+        """Longest cached prompt that is a strict prefix of ``prompt``
+        (strict: at least one suffix token must remain to produce logits).
+        LRU-refreshes the hit."""
+        best_key, best = None, None
+        for key_b, entry in self._prefix_cache.items():
+            pl = entry["len"]
+            if (best is None or pl > best["len"]) and pl <= len(prompt) - 1 and np.array_equal(
+                prompt[:pl], entry["tokens"]
+            ):
+                best_key, best = key_b, entry
+        if best_key is not None:
+            self._prefix_cache.move_to_end(best_key)
+        return best
+
+    def _prefix_insert(self, prompt: np.ndarray, row: dict) -> None:
+        """Remember this prompt's KV rows (host copy), LRU-bounded."""
+        key_b = prompt.tobytes()
+        if key_b in self._prefix_cache:
+            self._prefix_cache.move_to_end(key_b)
+            return
+        t = len(prompt)
+        entry = {"tokens": prompt.copy(), "len": t}
+        for k, v in row.items():
+            entry[k] = np.asarray(v[:, :, :, :t])
+        self._prefix_cache[key_b] = entry
+        while len(self._prefix_cache) > self.prefix_cache_size:
+            self._prefix_cache.popitem(last=False)
 
     def _draft_np(self, req: Request, k: int) -> np.ndarray:
         """Host-side prompt-lookup draft: the k tokens that followed the most
@@ -302,10 +446,12 @@ class ContinuousBatcher:
 
     def step(self):
         """Advance every active slot; returns {request_id: token} (one token
-        per slot), or {request_id: [tokens]} when ``speculative_k`` is set
-        (one to k+1 tokens per slot per verify step)."""
+        per slot), or {request_id: [tokens]} when ``speculative_k`` or
+        ``decode_quantum`` batches multiple tokens per dispatch."""
         if self.speculative_k:
             return self._step_speculative()
+        if self.decode_quantum > 1:
+            return self._step_quantum()
         self._admit()
         active = np.asarray([s is not None for s in self.slots])
         if not active.any():
@@ -335,6 +481,41 @@ class ContinuousBatcher:
             req.generated.append(tok)
             out[req.request_id] = tok
             self._maybe_finish(i, tok)
+        return out
+
+    def _step_quantum(self) -> Dict[int, List[int]]:
+        """Advance every active slot by up to ``decode_quantum`` tokens in a
+        single device dispatch."""
+        self._admit()
+        if not any(s is not None for s in self.slots):
+            return {}
+        tokens = np.zeros(self.n_slots, np.int32)
+        temps = np.zeros(self.n_slots, np.float32)
+        topk = np.full(self.n_slots, self.cfg.padded_vocab_size, np.int32)
+        for i, req in enumerate(self.slots):
+            if req is not None:
+                tokens[i] = req.generated[-1]
+                temps[i] = req.temperature
+                if req.top_k:
+                    topk[i] = req.top_k
+        self._key, sub = jax.random.split(self._key)
+        toks, self.cache = self._step_many(
+            self.params, self.cache, jnp.asarray(tokens),
+            jnp.asarray(self.positions), sub, jnp.asarray(temps), jnp.asarray(topk),
+        )
+        toks = np.asarray(toks)  # (Q, B)
+        out: Dict[int, List[int]] = {}
+        for i, req in enumerate(self.slots):
+            if req is None:
+                continue
+            lane = toks[:, i].tolist()
+            lane = lane[: req.max_new_tokens - len(req.generated)]
+            if req.eos_id is not None and req.eos_id in lane:
+                lane = lane[: lane.index(req.eos_id) + 1]
+            req.generated.extend(lane)
+            self.positions[i] += len(lane)
+            out[req.request_id] = lane
+            self._maybe_finish(i, lane[-1] if lane else -1)
         return out
 
     def _step_speculative(self) -> Dict[int, List[int]]:

@@ -237,3 +237,136 @@ def test_multi_token_vector_pos_forward_matches_scalar(model):
     lg2, _ = gpt.forward(params, cfg, toks, input_pos=jnp.asarray([10, 7]), kv_cache=cache)
     np.testing.assert_allclose(np.asarray(lg2[0]), outs[0], atol=1e-4, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(lg2[1]), outs[1], atol=1e-4, rtol=1e-4)
+
+
+# ------------------------------------------------- prefix caching
+
+
+def test_prefix_cache_exact_parity(model):
+    """Requests sharing a prompt prefix reuse its KV rows: outputs must be
+    bit-identical to the uncached batcher, and the hit counter must show
+    tokens were actually skipped."""
+    cfg, params = model
+    system = np.arange(1, 41, dtype=np.int32)  # 40-token shared "system prompt"
+    prompts = [np.concatenate([system, np.asarray(sfx, np.int32)])
+               for sfx in ([50, 51, 52], [60, 61], [70, 71, 72, 73])]
+    solo = [reference_greedy(cfg, params, p, 10) for p in prompts]
+
+    batcher = ContinuousBatcher(cfg, params, n_slots=2, max_seq_length=128,
+                                prefix_cache_size=4)
+    batcher.register_prefix(system)
+    rids = [batcher.submit(p, 10, temperature=0.0) for p in prompts]
+    results = batcher.run_to_completion()
+    for rid, want in zip(rids, solo):
+        assert results[rid] == want
+    # every prompt reuses the registered 40-token system prefix
+    assert batcher.prefix_cache_hits >= 3 * len(system)
+
+
+def test_prefix_cache_longest_match_and_lru(model):
+    cfg, params = model
+    batcher = ContinuousBatcher(cfg, params, n_slots=1, max_seq_length=128,
+                                prefix_cache_size=2)
+    a = np.arange(1, 21, dtype=np.int32)
+    ab = np.concatenate([a, [30, 31]]).astype(np.int32)
+    batcher.submit(a, 2, temperature=0.0)
+    batcher.run_to_completion()
+    batcher.submit(ab, 2, temperature=0.0)
+    batcher.run_to_completion()
+    # a full-prompt repeat matches the longer cached entry minus one token
+    hits0 = batcher.prefix_cache_hits
+    r = batcher.submit(np.concatenate([ab, [40]]).astype(np.int32), 4, temperature=0.0)
+    out = batcher.run_to_completion()
+    assert batcher.prefix_cache_hits - hits0 == len(ab)
+    assert len(out[r]) == 4
+    # LRU bound holds
+    assert len(batcher._prefix_cache) <= 2
+
+
+def test_prefix_cache_with_speculation(model):
+    """Prefix caching and batched speculation compose; greedy parity holds."""
+    cfg, params = model
+    system = np.tile([3, 4, 5, 6], 8).astype(np.int32)
+    p1 = np.concatenate([system, [9, 10]]).astype(np.int32)
+    p2 = np.concatenate([system, [11]]).astype(np.int32)
+    solo = [reference_greedy(cfg, params, p, 12) for p in (p1, p2)]
+    batcher = ContinuousBatcher(cfg, params, n_slots=2, max_seq_length=128,
+                                prefix_cache_size=2, speculative_k=4)
+    batcher.register_prefix(system)
+    r1 = batcher.submit(p1, 12, temperature=0.0)
+    r2 = batcher.submit(p2, 12, temperature=0.0)
+    results = batcher.run_to_completion()
+    assert results[r1] == solo[0]
+    assert results[r2] == solo[1]
+
+
+def test_prefix_cache_rejects_linear_algs(model):
+    cfg, params = model
+    import copy
+
+    cfg2 = copy.copy(cfg)
+    cfg2.attn_alg = "performer"
+    with pytest.raises(ValueError, match="quadratic"):
+        ContinuousBatcher(cfg2, params, n_slots=1, prefix_cache_size=2)
+
+
+def test_int8_kv_cache_continuous(model):
+    """Quantized slotted KV cache: decode runs and tracks the bf16-cache
+    output closely (int8 per-token-per-group KV quantization)."""
+    cfg, params = model
+    prompt = np.arange(1, 21, dtype=np.int32)
+    ref = reference_greedy(cfg, params, prompt, 12)
+    batcher = ContinuousBatcher(cfg, params, n_slots=2, max_seq_length=128,
+                                cache_dtype=jnp.int8, prefix_cache_size=2)
+    batcher.register_prefix(prompt[:12])
+    rid = batcher.submit(prompt, 12, temperature=0.0)
+    out = batcher.run_to_completion()[rid]
+    assert len(out) == 12
+    # int8 KV perturbs logits slightly; most greedy tokens still match
+    agree = sum(a == b for a, b in zip(out, ref))
+    assert agree >= 9, (out, ref)
+
+
+# ------------------------------------------------- decode quantum
+
+
+def test_decode_quantum_greedy_parity(model):
+    """Q decode steps per dispatch: identical greedy tokens, including a
+    request joining mid-flight and eos truncation mid-quantum."""
+    cfg, params = model
+    p1 = np.arange(1, 11, dtype=np.int32)
+    p2 = np.arange(20, 31, dtype=np.int32)
+    solo = {i: reference_greedy(cfg, params, p, 13) for i, p in enumerate((p1, p2))}
+    batcher = ContinuousBatcher(cfg, params, n_slots=2, max_seq_length=128,
+                                decode_quantum=4)
+    r1 = batcher.submit(p1, 13, temperature=0.0)
+    batcher.step()
+    r2 = batcher.submit(p2, 13, temperature=0.0)
+    results = batcher.run_to_completion()
+    assert results[r1] == solo[0]
+    assert results[r2] == solo[1]
+    # eos truncation mid-quantum
+    ref = reference_greedy(cfg, params, p1, 20)
+    eos = ref[5]  # lands mid-quantum at Q=4
+    r3 = batcher.submit(p1, 20, temperature=0.0, eos_id=eos)
+    results = batcher.run_to_completion()
+    assert results[r3] == ref[:6]
+
+
+def test_decode_quantum_int8_kv_and_prefix(model):
+    """Quantum decoding composes with int8 KV + prefix caching."""
+    cfg, params = model
+    prompt = np.arange(1, 31, dtype=np.int32)
+    batcher = ContinuousBatcher(cfg, params, n_slots=2, max_seq_length=128,
+                                decode_quantum=8, cache_dtype=jnp.int8,
+                                prefix_cache_size=2)
+    batcher.register_prefix(prompt[:20])
+    rid = batcher.submit(prompt, 16, temperature=0.0)
+    out = batcher.run_to_completion()[rid]
+    assert len(out) == 16 and batcher.prefix_cache_hits == 20
+
+
+def test_quantum_speculative_exclusive(model):
+    cfg, params = model
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        ContinuousBatcher(cfg, params, n_slots=1, decode_quantum=4, speculative_k=4)
