@@ -403,6 +403,12 @@ def _remat_wrap(body, remat):
     remat: False — save all block activations (fastest backward, most HBM);
     True/"full" — save only the residual stream, recompute the whole block
     in the backward (min HBM, fwd recompute = +1/3 step FLOPs);
+    "attn" — like "full" but additionally save the blockwise-attention
+    output and log-sum-exp (named residuals, ops/blockwise_attention._fwd):
+    the rematted backward skips re-running the attention forward —
+    ~70 MB/layer saved HBM at TinyLlama bs16 buys back the most expensive
+    part of the recompute (only meaningful when the blockwise kernel is
+    active, i.e. quadratic attention at T >= BLOCKWISE_MIN_T);
     "dots" — save weight-matmul outputs, recompute only batched/attention
     intermediates (jax.checkpoint_policies.dots_with_no_batch_dims_saveable):
     nearly the backward speed of remat=False at a fraction of its HBM —
@@ -410,6 +416,13 @@ def _remat_wrap(body, remat):
     """
     if remat is True or remat == "full":
         return jax.checkpoint(body)
+    if remat == "attn":
+        return jax.checkpoint(
+            body,
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "attn_out", "attn_lse"
+            ),
+        )
     if remat == "dots":
         return jax.checkpoint(
             body, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable

@@ -2,15 +2,26 @@
 custom VJP — trainable long-context attention.
 
 SURVEY.md §5 notes the reference has "no blockwise attention"; its training
-path materializes full (H, T, S) score tensors. This implements the
-flash-attention recurrence as blockwise ``lax.scan``s in XLA (the
-formulation this platform executes at full bandwidth — see the Pallas DMA
-note in ops/quant.py), with the standard two-pass backward:
+path materializes full (H, T, S) score tensors. This implements causal
+attention as a **statically-unrolled loop over query blocks**, each block
+attending to its causally-sliced key prefix ``k[:, :, :(i+1)*block]``:
 
-  forward:  online softmax over key blocks; saves (out, lse) only —
-            O(T * BK) live memory instead of O(T * S).
-  backward: D = rowsum(do * o); per key block recompute p = exp(s - lse),
-            ds = p * (do @ v^T - D); accumulate dq, dk, dv.
+* exactly-causal FLOPs and score traffic — block pairs above the diagonal
+  are never computed (the dense path and an online-softmax key-block scan
+  both spend the full T*S rectangle);
+* every slice size is static, so there are no device loops at all — each
+  query block is one einsum -> softmax -ize -> einsum chain that XLA fuses
+  and pipelines (on TPU this XLA-native formulation beats a hand-written
+  Pallas kernel wherever Pallas DMA underperforms — see ops/quant.py);
+* no online-softmax recurrence: a query block sees its whole key prefix at
+  once, so softmax stats are single-pass and there is no (B,H,T,D) f32
+  accumulator being re-read per key block;
+* probabilities are cast to the value dtype (bf16 in training) for the AV
+  and dk/dv matmuls — halves the biggest HBM term; softmax statistics stay
+  f32.
+
+Live memory is O(T * block) per unrolled step plus the saved (out, lse),
+the flash-attention residual layout.
 
 The Pallas forward kernel (ops/flash_attention.py) shares the math; this
 module is the autodiff-capable path used by training at long sequence
@@ -30,46 +41,35 @@ DEFAULT_BLOCK = 512
 NEG_INF = -1e30
 
 
-def _causal_mask(tq: int, tk: int, q0, k0):
-    qpos = q0 + jnp.arange(tq)[:, None]
-    kpos = k0 + jnp.arange(tk)[None, :]
+def _prefix_mask(block: int, kl: int, q0: int):
+    """(block, kl) causal mask for query rows q0..q0+block over keys 0..kl."""
+    qpos = q0 + jnp.arange(block)[:, None]
+    kpos = jnp.arange(kl)[None, :]
     return kpos <= qpos
 
 
 def _forward(q, k, v, scale: float, block: int):
     """Returns (out, lse). q: (B,H,T,D); k/v: (B,H,S,D) (pre-expanded)."""
     b, h, t, d = q.shape
-    s_len = k.shape[2]
-    nb = s_len // block
-    q32 = q.astype(jnp.float32)
-
-    kb = k.reshape(b, h, nb, block, d).transpose(2, 0, 1, 3, 4)
-    vb = v.reshape(b, h, nb, block, d).transpose(2, 0, 1, 3, 4)
-
-    def step(carry, inputs):
-        m, l, acc = carry
-        (kj, vj, j) = inputs
-        s = jnp.einsum("bhid,bhjd->bhij", q32, kj.astype(jnp.float32),
-                       preferred_element_type=jnp.float32) * scale
-        mask = _causal_mask(t, block, 0, j * block)
-        s = jnp.where(mask[None, None], s, NEG_INF)
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1))
-        p = jnp.exp(s - m_new[..., None])
-        p = jnp.where(mask[None, None], p, 0.0)
-        alpha = jnp.exp(m - m_new)
-        l = l * alpha + jnp.sum(p, axis=-1)
-        acc = acc * alpha[..., None] + jnp.einsum(
-            "bhij,bhjd->bhid", p, vj.astype(jnp.float32))
-        return (m_new, l, acc), None
-
-    m0 = jnp.full((b, h, t), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((b, h, t), jnp.float32)
-    a0 = jnp.zeros((b, h, t, d), jnp.float32)
-    (m, l, acc), _ = jax.lax.scan(step, (m0, l0, a0), (kb, vb, jnp.arange(nb)))
-    l_safe = jnp.where(l == 0.0, 1.0, l)
-    out = (acc / l_safe[..., None]).astype(q.dtype)
-    lse = m + jnp.log(l_safe)
-    return out, lse
+    nq = t // block
+    outs, lses = [], []
+    for i in range(nq):
+        kl = (i + 1) * block
+        qi = q[:, :, i * block : kl]
+        s = jnp.einsum(
+            "bhid,bhjd->bhij", qi, k[:, :, :kl], preferred_element_type=jnp.float32
+        ) * scale
+        s = jnp.where(_prefix_mask(block, kl, i * block)[None, None], s, NEG_INF)
+        m = jnp.max(s, axis=-1)
+        p = jnp.exp(s - m[..., None]).astype(v.dtype)
+        l = jnp.sum(p, axis=-1, dtype=jnp.float32)
+        o = jnp.einsum(
+            "bhij,bhjd->bhid", p, v[:, :, :kl],
+            preferred_element_type=jnp.float32,
+        )
+        outs.append((o / l[..., None]).astype(q.dtype))
+        lses.append(m + jnp.log(l))
+    return jnp.concatenate(outs, axis=2), jnp.concatenate(lses, axis=2)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -89,7 +89,12 @@ def _fwd(q, k, v, scale, block):
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     out, lse = _forward(q, k, v, scale, block)
-    return out, (q, k, v, out, lse)
+    # named so remat="attn" (models/gpt._remat_wrap) can save exactly these
+    # residuals: the backward then reuses (out, lse) instead of re-running
+    # the whole attention forward inside the rematted block
+    from jax.ad_checkpoint import checkpoint_name
+
+    return out, (q, k, v, checkpoint_name(out, "attn_out"), checkpoint_name(lse, "attn_lse"))
 
 
 def _bwd(scale, block, res, do):
@@ -97,30 +102,40 @@ def _bwd(scale, block, res, do):
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     b, h, t, d = q.shape
-    nb = t // block
-    q32, do32 = q.astype(jnp.float32), do.astype(jnp.float32)
-    delta = jnp.sum(do32 * out.astype(jnp.float32), axis=-1)  # (B,H,T)
+    nq = t // block
+    # D_i = rowsum(dout * out), the softmax-backward correction term
+    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
 
-    kb = k.reshape(b, h, nb, block, d).transpose(2, 0, 1, 3, 4)
-    vb = v.reshape(b, h, nb, block, d).transpose(2, 0, 1, 3, 4)
-
-    def step(dq, inputs):
-        kj, vj, j = inputs
-        s = jnp.einsum("bhid,bhjd->bhij", q32, kj.astype(jnp.float32),
-                       preferred_element_type=jnp.float32) * scale
-        mask = _causal_mask(t, block, 0, j * block)
-        p = jnp.where(mask[None, None], jnp.exp(s - lse[..., None]), 0.0)
-        dp = jnp.einsum("bhid,bhjd->bhij", do32, vj.astype(jnp.float32))
-        ds = p * (dp - delta[..., None])
-        dq = dq + jnp.einsum("bhij,bhjd->bhid", ds, kj.astype(jnp.float32)) * scale
-        dkj = jnp.einsum("bhij,bhid->bhjd", ds, q32) * scale
-        dvj = jnp.einsum("bhij,bhid->bhjd", p, do32)
-        return dq, (dkj, dvj)
-
-    dq0 = jnp.zeros_like(q32)
-    dq, (dk_blocks, dv_blocks) = jax.lax.scan(step, dq0, (kb, vb, jnp.arange(nb)))
-    dk = dk_blocks.transpose(1, 2, 0, 3, 4).reshape(b, h, t, d)
-    dv = dv_blocks.transpose(1, 2, 0, 3, 4).reshape(b, h, t, d)
+    dqs = []
+    dk = jnp.zeros(k.shape, jnp.float32)
+    dv = jnp.zeros(v.shape, jnp.float32)
+    for i in range(nq):
+        q0, kl = i * block, (i + 1) * block
+        qi = q[:, :, q0:kl]
+        doi = do[:, :, q0:kl]
+        s = jnp.einsum(
+            "bhid,bhjd->bhij", qi, k[:, :, :kl], preferred_element_type=jnp.float32
+        ) * scale
+        mask = _prefix_mask(block, kl, q0)[None, None]
+        p = jnp.where(mask, jnp.exp(s - lse[:, :, q0:kl, None]), 0.0)
+        dp = jnp.einsum(
+            "bhid,bhjd->bhij", doi, v[:, :, :kl], preferred_element_type=jnp.float32
+        )
+        ds = (p * (dp - delta[:, :, q0:kl, None])).astype(q.dtype)
+        pc = p.astype(q.dtype)
+        dqi = jnp.einsum(
+            "bhij,bhjd->bhid", ds, k[:, :, :kl], preferred_element_type=jnp.float32
+        ) * scale
+        dki = jnp.einsum(
+            "bhij,bhid->bhjd", ds, qi, preferred_element_type=jnp.float32
+        ) * scale
+        dvi = jnp.einsum(
+            "bhij,bhid->bhjd", pc, doi, preferred_element_type=jnp.float32
+        )
+        dqs.append(dqi)
+        dk = dk.at[:, :, :kl].add(dki)
+        dv = dv.at[:, :, :kl].add(dvi)
+    dq = jnp.concatenate(dqs, axis=2)
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 

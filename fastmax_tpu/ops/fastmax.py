@@ -26,12 +26,25 @@ Shapes follow the framework convention: q, k, v are (B, H, N, D).
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 
-DEFAULT_CHUNK = 128
+# Scan-chunk length C: each chunk pays one read+write of the carried running
+# sums (for p=2 that state is (B,H,d^2,d) f32 — the dominant HBM term of
+# fastmax training), so larger chunks amortize state bandwidth against
+# O(C^2) intra-chunk matmul FLOPs (cheap on the MXU). Env-overridable; see
+# also `_auto_chunk` which scales C with the sequence length.
+DEFAULT_CHUNK = int(os.environ.get("FASTMAX_TPU_CHUNK", 128))
+
+
+def _auto_chunk(chunk: int, n: int) -> int:
+    """Scale the chunk length up for long sequences: state read+write per
+    chunk is constant, so fewer/larger chunks are strictly less HBM traffic
+    until the (B,H,C,C) intra-chunk block dominates. Capped at 512."""
+    return min(max(chunk, n // 8), max(chunk, 512))
 
 
 def _poly_weights(s, p: int):
@@ -387,7 +400,7 @@ def fastmax(q, k, v, mask: bool = True, normalize_term: float = 8.0,
     z = 1.0 if tensors_normalized else float(normalize_term) * math.sqrt(d)
     if mask:
         # custom VJP: reversible-state backward, O(d^3) memory (see above)
-        o = _masked_grouped(q, k, v, z, p, chunk, head_group)
+        o = _masked_grouped(q, k, v, z, p, _auto_chunk(chunk, q.shape[-2]), head_group)
     else:
         o = _unmasked_linear(q, k, v, z, p)
     return o.astype(dtype)
@@ -419,7 +432,7 @@ def linearmax(q, k, v, p: int = 1, mask: bool = True, chunk: int = DEFAULT_CHUNK
     q, k, v = (x.astype(jnp.float32) for x in (q, k, v))
     q, k = _hack_normalize(q, k)
     if mask:
-        o = _masked_chunked(q, k, v, 1.0, p, chunk)
+        o = _masked_chunked(q, k, v, 1.0, p, _auto_chunk(chunk, q.shape[-2]))
     else:
         o = _unmasked_linear(q, k, v, 1.0, p)
     return o.astype(dtype)

@@ -174,6 +174,40 @@ def test_prepare_alpaca_roundtrip(tmp_path):
     assert inputs.shape[1] % 64 == 0  # bucketed padding
 
 
+def test_prepare_style_normalizers():
+    """Per-dataset record layouts map onto {instruction, input, output}
+    exactly as the reference's per-dataset prepare scripts do
+    (prepare_dolly.py:54-55, prepare_flan.py:208/227, prepare_lima.py:105-116,
+    prepare_booksum.py:104-130)."""
+    from fastmax_tpu.data.prompts import NORMALIZERS, STYLES
+
+    dolly = NORMALIZERS["dolly"]({"instruction": "i", "context": "c", "response": "r"})
+    assert dolly == [{"instruction": "i", "input": "c", "output": "r"}]
+
+    flan = NORMALIZERS["flan"]({"inputs": "task text", "targets": "answer"})
+    assert flan == [{"instruction": "task text", "input": "", "output": "answer"}]
+    # flan's template shows the task under "### Instruction:" with no Input block
+    assert "### Instruction:\ntask text" in STYLES["flan"](flan[0])
+    assert "### Input" not in STYLES["flan"](flan[0])
+
+    convo = {"conversations": ["q1", "a1", "q2", "a2"]}
+    assert NORMALIZERS["lima"](convo) == [
+        {"instruction": "q1", "input": "", "output": "a1"}
+    ]
+    assert NORMALIZERS["lima"](convo, include_multiturn=True) == [
+        {"instruction": "q1", "input": "", "output": "a1"},
+        {"instruction": "q2", "input": "", "output": "a2"},
+    ]
+
+    book = NORMALIZERS["booksum"]({"chapter": "long text", "summary_text": "short"})
+    assert book[0]["instruction"].startswith("Write a summary")
+    assert book[0]["input"] == "long text" and book[0]["output"] == "short"
+
+    # alpaca/longform/csv records pass through untouched
+    rec = {"instruction": "i", "input": "x", "output": "o"}
+    assert NORMALIZERS["alpaca"](rec) == [rec]
+
+
 def test_remat_policies_same_grads():
     """remat=False / "full" / "dots" change memory, never numerics."""
     import jax.numpy as jnp
@@ -193,7 +227,7 @@ def test_remat_policies_same_grads():
         return cross_entropy(logits, batch[:, 1:])
 
     ref_l, ref_g = jax.value_and_grad(loss)(params, False)
-    for policy in (True, "full", "dots"):
+    for policy in (True, "full", "dots", "attn"):
         l, g = jax.value_and_grad(loss)(params, policy)
         np.testing.assert_allclose(float(l), float(ref_l), rtol=1e-6)
         jax.tree.map(
@@ -203,6 +237,37 @@ def test_remat_policies_same_grads():
 
     with pytest.raises(ValueError, match="remat"):
         loss(params, "bogus")
+
+
+def test_remat_attn_with_blockwise_kernel(monkeypatch):
+    """remat="attn" saves the blockwise kernel's named (out, lse) residuals;
+    gradients still match the no-remat reference exactly."""
+    import jax.numpy as jnp
+
+    from fastmax_tpu.models import gpt
+    from fastmax_tpu.ops import attention as attn_mod
+    from fastmax_tpu.utils.loss import cross_entropy
+
+    # force the blockwise kernel on at toy sizes so the named residuals exist
+    monkeypatch.setattr(attn_mod, "BLOCKWISE_MIN_T", 16)
+    monkeypatch.setattr(attn_mod, "BLOCKWISE_BLOCK", 16)
+
+    cfg = Config(block_size=32, vocab_size=64, padded_vocab_size=64,
+                 n_layer=2, n_head=2, n_embd=32, rotary_percentage=1.0)
+    params = gpt.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    batch = jnp.asarray(np.random.default_rng(0).integers(0, 64, (2, 33)), jnp.int32)
+
+    def loss(params, remat):
+        logits, _ = gpt.forward(params, cfg, batch[:, :-1], remat=remat)
+        return cross_entropy(logits, batch[:, 1:])
+
+    ref_l, ref_g = jax.value_and_grad(loss)(params, False)
+    l, g = jax.value_and_grad(loss)(params, "attn")
+    np.testing.assert_allclose(float(l), float(ref_l), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6),
+        g, ref_g,
+    )
 
 
 def test_finetune_qlora_gptq_calibrated(tmp_path, tiny_registry_entry):
