@@ -96,6 +96,9 @@ def run(
         "adafactor": lambda: optax.adafactor(3e-4),
         "lion": lambda: optax.lion(3e-5, weight_decay=0.02,
                                    mu_dtype=jnp.dtype(mu_dtype)),
+        "adamw8bit": lambda: __import__(
+            "fastmax_tpu.training.quant_optim", fromlist=["adamw8bit"]
+        ).adamw8bit(3e-4, b1=0.9, b2=0.95, weight_decay=0.02),
     }[optimizer]()
     optimizer_tx = optax.chain(optax.clip_by_global_norm(1.0), inner)
     opt_state = optimizer_tx.init(params)

@@ -6,6 +6,9 @@ lora.py, adapter.py, adapter_v2.py — SURVEY.md §2.5), including QLoRA:
 only the LoRA deltas, the reference's finetune/lora.py:38-177 flow; add
 ``--gptq_calib true`` to quantize the base with GPTQ error compensation
 calibrated on the training data (ops/gptq.py) instead of round-to-nearest.
+``--train.optimizer adamw8bit`` stores Adam moments blockwise
+int8-quantized (training/quant_optim.py) — the reference's
+PagedAdamW-under-quantization choice (finetune/lora.py:152-160).
 
 Saves method-appropriate checkpoints: full state for --method full,
 delta-only (lora_filter / adapter_filter role) otherwise.

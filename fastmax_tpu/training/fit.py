@@ -69,9 +69,24 @@ def build_optimizer(train: TrainArgs, trainable=None) -> optax.GradientTransform
     chain = []
     if train.max_norm is not None:
         chain.append(optax.clip_by_global_norm(train.max_norm))
-    chain.append(
-        optax.adamw(schedule, b1=train.beta1, b2=train.beta2, weight_decay=train.weight_decay)
-    )
+    name = getattr(train, "optimizer", "adamw")
+    if name == "adamw":
+        inner = optax.adamw(
+            schedule, b1=train.beta1, b2=train.beta2, weight_decay=train.weight_decay
+        )
+    elif name == "adamw8bit":
+        from .quant_optim import adamw8bit
+
+        inner = adamw8bit(
+            schedule, b1=train.beta1, b2=train.beta2, weight_decay=train.weight_decay
+        )
+    elif name == "adafactor":
+        inner = optax.adafactor(schedule)
+    elif name == "lion":
+        inner = optax.lion(schedule, weight_decay=train.weight_decay)
+    else:
+        raise ValueError(f"unknown optimizer {name!r}")
+    chain.append(inner)
     opt = optax.chain(*chain)
     if trainable is not None:
         from .step import masked_optimizer

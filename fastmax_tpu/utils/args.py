@@ -25,6 +25,10 @@ class TrainArgs:
     max_norm: Optional[float] = 1.0
     min_lr: float = 6e-5
     max_iters: int = 10_000
+    # adamw | adamw8bit | adafactor | lion — adamw8bit persists Adam moments
+    # blockwise int8-quantized (training/quant_optim.py), the role of the
+    # reference's PagedAdamW-under-quantization choice (finetune/lora.py:152-160)
+    optimizer: str = "adamw"
 
     def gradient_accumulation_iters(self, devices: int = 1) -> int:
         ga = self.batch_size(devices) // self.micro_batch_size
