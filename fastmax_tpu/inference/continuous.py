@@ -295,12 +295,19 @@ class ContinuousBatcher:
 
     def submit(self, prompt: np.ndarray, max_new_tokens: int, *,
                temperature: float = 0.0, top_k: Optional[int] = None,
-               eos_id: Optional[int] = None) -> int:
+               eos_id: Optional[int] = None, return_request: bool = False):
+        """Queue a request; returns its id (or the Request itself with
+        ``return_request=True`` — a serving frontend tracks progress through
+        ``Request.generated``/``.done``, see inference/server.py)."""
         req = Request(self._next_id, np.asarray(prompt, np.int32), max_new_tokens,
                       temperature, top_k, eos_id)
         self._next_id += 1
         self.queue.append(req)
-        return req.request_id
+        return req if return_request else req.request_id
+
+    def inflight(self) -> int:
+        """Requests queued or occupying a slot."""
+        return len(self.queue) + sum(s is not None for s in self.slots)
 
     def _admit(self) -> None:
         for slot in range(self.n_slots):

@@ -127,6 +127,25 @@ def test_schedule_and_masked_composition():
     assert not np.allclose(np.asarray(params["train_me"]), 1.0)
 
 
+def test_orbax_roundtrip(tmp_path):
+    """The quantized state (dict-of-array moments, () placeholders for
+    non-float leaves) survives save_train_state/load_train_state."""
+    from fastmax_tpu.training.fit import TrainState, load_train_state, save_train_state
+
+    params = {"big": jnp.ones((64, 128), jnp.float32),
+              "codes": jnp.zeros((8, 8), jnp.int8),
+              "small": jnp.ones((4,), jnp.float32)}
+    opt = adamw8bit(1e-3)
+    st = opt.init(params)
+    g = jax.tree.map(jnp.ones_like, params)
+    _, st = opt.update(g, st, params)
+    save_train_state(TrainState(params, st, step=3), tmp_path / "ck")
+    restored = load_train_state(tmp_path / "ck", TrainState(params, opt.init(params)))
+    assert restored.step == 3
+    for a, b in zip(jax.tree.leaves(st), jax.tree.leaves(restored.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_build_optimizer_and_fit_integration(tmp_path):
     """TrainArgs(optimizer='adamw8bit') trains a tiny model end-to-end and the
     loss decreases; the state survives the fit loop's jitted apply_step."""
