@@ -34,6 +34,18 @@ or their budget mid-quantum waste their remaining lane steps; the extra
 cache rows they wrote are stale-but-masked, exactly like rejected
 speculative drafts.
 
+``prefill_chunk = C > 0`` enables chunked prefill (quadratic path only):
+admission assigns a slot immediately but runs the prompt through the model
+C tokens at a time, ONE chunk per scheduler step (round-robin over
+mid-prefill slots), interleaved with decode steps for the running slots.
+A long prompt then costs each running request at most one chunk-forward of
+added inter-token latency per step instead of stalling every lane for the
+whole prompt. Static shapes: one jitted (1, C) forward with a traced
+position offset serves every chunk of every prompt. Mid-prefill slots are
+excluded from decode; the garbage rows a decode step writes at a
+mid-prefill slot's position are overwritten by its next chunk (hence the
+``prefill_chunk >= decode_quantum / speculative_k+1`` guard).
+
 ``prefix_cache_size > 0`` enables prefix caching (quadratic path only):
 each admitted prompt's KV rows are kept in an LRU on the host, and a new
 request whose prompt starts with a cached prompt skips prefill for the
@@ -85,6 +97,7 @@ class ContinuousBatcher:
         prefix_cache_size: int = 0,
         cache_dtype=None,
         decode_quantum: int = 1,
+        prefill_chunk: int = 0,
     ):
         from .engine import InferenceEngine
 
@@ -103,6 +116,15 @@ class ContinuousBatcher:
         # a speculative verify writes k+1 cache rows past each slot's
         # position; a quantum writes Q rows
         self._headroom = max(self.speculative_k + 1, self.decode_quantum)
+        self.prefill_chunk = int(prefill_chunk)
+        if self.prefill_chunk and self._headroom > self.prefill_chunk:
+            raise ValueError(
+                "prefill_chunk must be >= decode_quantum and speculative_k+1: "
+                "a mid-prefill slot's garbage decode rows must fit inside the "
+                "range its next chunk overwrites"
+            )
+        self._prefilling: Dict[int, int] = {}  # slot -> tokens prefilled so far
+        self._pf_next = 0  # round-robin pointer over mid-prefill slots
         self.prefix_cache_size = int(prefix_cache_size)
         from collections import OrderedDict
 
@@ -122,6 +144,11 @@ class ContinuousBatcher:
         if self.prefix_cache_size and self._linear_alg:
             raise ValueError(
                 "prefix caching requires the KV-cache (quadratic) path"
+            )
+        if self.prefill_chunk and self._linear_alg:
+            raise ValueError(
+                "chunked prefill requires the KV-cache (quadratic) path: "
+                "linear-state prefill must absorb the exact prompt in one pass"
             )
         if self._linear_alg:
             # O(1)-state slots: one running linear-attention state per slot.
@@ -329,6 +356,23 @@ class ContinuousBatcher:
                         self.cache[key_] = (
                             self.cache[key_].at[:, slot : slot + 1].set(state_row[key_])
                         )
+                elif self.prefill_chunk:
+                    # chunked admission: claim the slot, start at the shared
+                    # prefix (if cached); _prefill_tick does the actual work
+                    p0 = 0
+                    if self.prefix_cache_size:
+                        entry = self._prefix_lookup(req.prompt[:t])
+                        if entry is not None:
+                            p0 = entry["len"]
+                            for k in self.cache:
+                                self.cache[k] = self.cache[k].at[
+                                    :, slot : slot + 1, :, :p0
+                                ].set(jnp.asarray(entry[k]))
+                            self.prefix_cache_hits += p0
+                    self._prefilling[slot] = p0
+                    self.positions[slot] = p0
+                    self.slots[slot] = req
+                    continue
                 else:
                     row = {k: v[:, slot : slot + 1] for k, v in self.cache.items()}
                     p0 = 0
@@ -363,6 +407,49 @@ class ContinuousBatcher:
                 self.positions[slot] = t
                 self.slots[slot] = req
                 self._maybe_finish(slot, first)
+
+    def _prefill_tick(self) -> None:
+        """Advance ONE mid-prefill slot by one chunk (round-robin), bounding
+        the prefill work injected between decode steps to a single (1, C)
+        forward. On the final chunk, samples the request's first token and
+        hands the slot to the decode path."""
+        if not self._prefilling:
+            return
+        order = sorted(self._prefilling)
+        slot = next(
+            (s for s in order if s >= self._pf_next), order[0]
+        )
+        self._pf_next = slot + 1
+        req = self.slots[slot]
+        t = len(req.prompt)
+        p = self._prefilling[slot]
+        n = min(self.prefill_chunk, t - p)
+        padded = np.zeros(self.prefill_chunk, np.int32)
+        padded[:n] = req.prompt[p : p + n]
+        row = {k: v[:, slot : slot + 1] for k, v in self.cache.items()}
+        last, row = self._prefill(
+            self.params, jnp.asarray(padded)[None], jnp.asarray(t),
+            row, jnp.asarray(p),
+        )
+        for k in self.cache:
+            self.cache[k] = self.cache[k].at[:, slot : slot + 1].set(row[k])
+        p += n
+        if p < t:
+            self._prefilling[slot] = p
+            self.positions[slot] = p
+            return
+        del self._prefilling[slot]
+        if self.prefix_cache_size:
+            self._prefix_insert(req.prompt, row)
+        self._key, sub = jax.random.split(self._key)
+        first = int(sample(last[0], sub, req.temperature, req.top_k))
+        req.generated.append(first)
+        self.positions[slot] = t
+        self._maybe_finish(slot, first)
+
+    def _decodable(self, slot: int) -> bool:
+        """Slot holds a request that is past prefill (decode may advance it)."""
+        return self.slots[slot] is not None and slot not in self._prefilling
 
     def _maybe_finish(self, slot: int, token: int) -> None:
         req = self.slots[slot]
@@ -460,14 +547,15 @@ class ContinuousBatcher:
         if self.decode_quantum > 1:
             return self._step_quantum()
         self._admit()
-        active = np.asarray([s is not None for s in self.slots])
+        self._prefill_tick()
+        active = np.asarray([self._decodable(i) for i in range(self.n_slots)])
         if not active.any():
             return {}
         tokens = np.zeros(self.n_slots, np.int32)
         temps = np.zeros(self.n_slots, np.float32)
         topk = np.full(self.n_slots, self.cfg.padded_vocab_size, np.int32)
         for i, req in enumerate(self.slots):
-            if req is not None:
+            if active[i]:
                 tokens[i] = req.generated[-1]
                 temps[i] = req.temperature
                 if req.top_k:
@@ -481,7 +569,7 @@ class ContinuousBatcher:
         nxt = np.asarray(nxt)
         out: Dict[int, int] = {}
         for i, req in enumerate(self.slots):
-            if req is None:
+            if not active[i]:
                 continue
             self.positions[i] += 1
             tok = int(nxt[i])
@@ -494,13 +582,15 @@ class ContinuousBatcher:
         """Advance every active slot by up to ``decode_quantum`` tokens in a
         single device dispatch."""
         self._admit()
-        if not any(s is not None for s in self.slots):
+        self._prefill_tick()
+        decodable = [self._decodable(i) for i in range(self.n_slots)]
+        if not any(decodable):
             return {}
         tokens = np.zeros(self.n_slots, np.int32)
         temps = np.zeros(self.n_slots, np.float32)
         topk = np.full(self.n_slots, self.cfg.padded_vocab_size, np.int32)
         for i, req in enumerate(self.slots):
-            if req is not None:
+            if decodable[i]:
                 tokens[i] = req.generated[-1]
                 temps[i] = req.temperature
                 if req.top_k:
@@ -513,7 +603,7 @@ class ContinuousBatcher:
         toks = np.asarray(toks)  # (Q, B)
         out: Dict[int, List[int]] = {}
         for i, req in enumerate(self.slots):
-            if req is None:
+            if not decodable[i]:
                 continue
             lane = toks[:, i].tolist()
             lane = lane[: req.max_new_tokens - len(req.generated)]
@@ -528,7 +618,8 @@ class ContinuousBatcher:
     def _step_speculative(self) -> Dict[int, List[int]]:
         """One batched draft-verify step over all active slots."""
         self._admit()
-        active = [i for i, s in enumerate(self.slots) if s is not None]
+        self._prefill_tick()
+        active = [i for i in range(self.n_slots) if self._decodable(i)]
         if not active:
             return {}
         k = self.speculative_k
@@ -536,7 +627,7 @@ class ContinuousBatcher:
         temps = np.zeros(self.n_slots, np.float32)
         topk = np.full(self.n_slots, self.cfg.padded_vocab_size, np.int32)
         for i, req in enumerate(self.slots):
-            if req is not None:
+            if i in active:
                 tokens[i, 0] = req.generated[-1]
                 tokens[i, 1:] = self._draft_np(req, k)
                 temps[i] = req.temperature
@@ -550,7 +641,7 @@ class ContinuousBatcher:
         a, cand = np.asarray(a), np.asarray(cand)
         out: Dict[int, List[int]] = {}
         for i, req in enumerate(self.slots):
-            if req is None:
+            if i not in active:
                 continue
             toks = cand[i, : int(a[i]) + 1].tolist()
             # budget, then eos truncation (keep the eos itself)

@@ -294,6 +294,7 @@ def main(
     decode_quantum: int = 1,
     speculative_k: int = 0,
     prefix_cache_size: int = 0,
+    prefill_chunk: int = 0,
     system_prompt: Optional[str] = None,
 ) -> None:
     """Serve a checkpoint over HTTP with continuous batching.
@@ -315,7 +316,7 @@ def main(
         weights_mode=weights_mode,
         cache_dtype=getattr(jnp, kv_cache_dtype) if kv_cache_dtype else None,
         decode_quantum=decode_quantum, speculative_k=speculative_k,
-        prefix_cache_size=prefix_cache_size,
+        prefix_cache_size=prefix_cache_size, prefill_chunk=prefill_chunk,
     )
     if system_prompt:
         batcher.register_prefix(np.asarray(tokenizer.encode(system_prompt), np.int32))

@@ -370,3 +370,105 @@ def test_quantum_speculative_exclusive(model):
     cfg, params = model
     with pytest.raises(ValueError, match="mutually exclusive"):
         ContinuousBatcher(cfg, params, n_slots=1, decode_quantum=4, speculative_k=4)
+
+
+# ---------------------------------------------------------- chunked prefill
+
+
+def test_chunked_prefill_exact_parity(model):
+    """prefill_chunk splits prompts across scheduler steps but emits exactly
+    the tokens the unchunked batcher does (prompts longer and shorter than
+    the chunk, plus one that isn't a multiple of it)."""
+    cfg, params = model
+    prompts = [np.arange(1, 40, dtype=np.int32),     # 39 = 2 chunks + tail
+               np.asarray([7, 8, 9], np.int32),      # < 1 chunk
+               np.arange(50, 82, dtype=np.int32)]    # exactly 2 chunks
+    solo = [reference_greedy(cfg, params, p, 8) for p in prompts]
+    batcher = ContinuousBatcher(cfg, params, n_slots=2, max_seq_length=128,
+                                prefill_bucket=16, prefill_chunk=16)
+    rids = [batcher.submit(p, 8, temperature=0.0) for p in prompts]
+    results = batcher.run_to_completion()
+    for rid, want in zip(rids, solo):
+        assert results[rid] == want
+
+
+def test_chunked_prefill_interleaves_with_decode(model):
+    """A long-prompt request admitted mid-flight must not stall the running
+    slot: the running request keeps advancing every step while the new one
+    prefills chunk by chunk."""
+    cfg, params = model
+    short = np.asarray([3, 4, 5], np.int32)
+    long = np.arange(1, 49, dtype=np.int32)  # 6 chunks of 8
+    want_short = reference_greedy(cfg, params, short, 20)
+    want_long = reference_greedy(cfg, params, long, 6)
+    batcher = ContinuousBatcher(cfg, params, n_slots=2, max_seq_length=128,
+                                prefill_bucket=8, prefill_chunk=8)
+    r1 = batcher.submit(short, 20, temperature=0.0)
+    batcher.step()  # short is admitted + produced its first token
+    r2 = batcher.submit(long, 6, temperature=0.0)
+    req_short = next(s for s in batcher.slots if s is not None)
+    progress = []
+    while batcher._prefilling or batcher.queue:
+        before = len(req_short.generated)
+        batcher.step()
+        progress.append(len(req_short.generated) - before)
+    # the short request advanced on every step of the long prefill
+    assert all(d == 1 for d in progress[:-1])
+    results = batcher.run_to_completion()
+    assert results[r1] == want_short
+    assert results[r2] == want_long
+
+
+def test_chunked_prefill_with_prefix_cache(model):
+    """Chunked admission still reuses (and repopulates) the prefix cache."""
+    cfg, params = model
+    system = np.arange(1, 25, dtype=np.int32)
+    p1 = np.concatenate([system, [60, 61]]).astype(np.int32)
+    p2 = np.concatenate([system, [70]]).astype(np.int32)
+    want = {0: reference_greedy(cfg, params, p1, 6),
+            1: reference_greedy(cfg, params, p2, 6)}
+    batcher = ContinuousBatcher(cfg, params, n_slots=1, max_seq_length=128,
+                                prefill_chunk=8, prefix_cache_size=4)
+    batcher.register_prefix(system)
+    r1 = batcher.submit(p1, 6, temperature=0.0)
+    r2 = batcher.submit(p2, 6, temperature=0.0)
+    results = batcher.run_to_completion()
+    assert results[r1] == want[0]
+    assert results[r2] == want[1]
+    assert batcher.prefix_cache_hits >= 2 * len(system)
+
+
+def test_chunked_prefill_with_decode_quantum(model):
+    cfg, params = model
+    prompts = [np.arange(1, 30, dtype=np.int32), np.asarray([5, 6], np.int32)]
+    solo = [reference_greedy(cfg, params, p, 8) for p in prompts]
+    batcher = ContinuousBatcher(cfg, params, n_slots=2, max_seq_length=128,
+                                prefill_chunk=8, decode_quantum=4)
+    rids = [batcher.submit(p, 8, temperature=0.0) for p in prompts]
+    results = batcher.run_to_completion()
+    for rid, want in zip(rids, solo):
+        assert results[rid] == want
+
+
+def test_chunked_prefill_with_speculation(model):
+    cfg, params = model
+    prompt = np.arange(1, 30, dtype=np.int32)
+    want = reference_greedy(cfg, params, prompt, 10)
+    batcher = ContinuousBatcher(cfg, params, n_slots=2, max_seq_length=128,
+                                prefill_chunk=8, speculative_k=4)
+    rid = batcher.submit(prompt, 10, temperature=0.0)
+    results = batcher.run_to_completion()
+    assert results[rid] == want
+
+
+def test_chunked_prefill_guards(model):
+    cfg, params = model
+    with pytest.raises(ValueError, match="prefill_chunk must be >="):
+        ContinuousBatcher(cfg, params, n_slots=1, prefill_chunk=4,
+                          decode_quantum=8)
+    cfg2 = cfg.replace(attn_alg="linearmax") if hasattr(cfg, "replace") else None
+    if cfg2 is None:
+        import dataclasses
+        cfg2 = dataclasses.replace(cfg, attn_alg="linearmax")
+    with pytest.raises(ValueError, match="chunked prefill requires"):
+        ContinuousBatcher(cfg2, params, n_slots=1, prefill_chunk=8)
