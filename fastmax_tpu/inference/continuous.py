@@ -98,6 +98,7 @@ class ContinuousBatcher:
         cache_dtype=None,
         decode_quantum: int = 1,
         prefill_chunk: int = 0,
+        mesh=None,
     ):
         from .engine import InferenceEngine
 
@@ -160,6 +161,45 @@ class ContinuousBatcher:
             self.cache = gpt.init_kv_cache(
                 cfg, n_slots, self.max_seq_length, cache_dtype or dtype
             )
+        self.mesh = mesh
+        if mesh is not None and not self._linear_alg:
+            # multi-chip serving: keep the slotted cache head-sharded over the
+            # model axis (same layout TP attention computes in, so cache
+            # updates never re-gather; the generate/tp.py KV split role)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ..parallel.sharding import MODEL_AXIS
+
+            tp_size = mesh.shape.get(MODEL_AXIS, 1)
+            grp = (
+                MODEL_AXIS
+                if tp_size > 1 and cfg.n_query_groups % tp_size == 0
+                else None
+            )
+            kv_spec = P(None, None, grp, None, None)
+            sc_spec = P(None, None, grp, None)
+            self._cache_spec = {
+                k: kv_spec if v.ndim == 5 else sc_spec
+                for k, v in self.cache.items()
+            }
+            self.cache = {
+                k: jax.device_put(v, NamedSharding(mesh, self._cache_spec[k]))
+                for k, v in self.cache.items()
+            }
+
+        def constrain(cache):
+            # pin the cache to its group-sharded layout so donated-output
+            # sharding never drifts across steps (XLA would otherwise
+            # re-propagate, e.g. splitting head_size over the model axis)
+            if mesh is None or self._linear_alg:
+                return cache
+            from jax.sharding import NamedSharding
+
+            return {
+                k: jax.lax.with_sharding_constraint(
+                    v, NamedSharding(mesh, self._cache_spec[k])
+                )
+                for k, v in cache.items()
+            }
         self.positions = np.zeros(n_slots, np.int32)  # next write position
         self.slots: List[Optional[Request]] = [None] * n_slots
         self.queue: List[Request] = []
@@ -181,7 +221,7 @@ class ContinuousBatcher:
             last = jnp.take_along_axis(
                 logits, (n_valid - p0 - 1)[None, None, None].astype(jnp.int32), axis=1
             )[:, 0]
-            return last, row_cache
+            return last, constrain(row_cache)
 
         # NOTE: no donation here — an identity slice (n_slots == 1) can alias
         # the whole cache, and donating it would delete the live cache
@@ -235,7 +275,7 @@ class ContinuousBatcher:
             # all-greedy batches skip the (B, V) sort entirely — a real
             # per-step cost when the decode step itself is ~10 ms
             nxt = jax.lax.cond(jnp.any(temperature > 0), hot_sample, lambda: greedy)
-            return nxt, cache
+            return nxt, constrain(cache)
 
         self._step = jax.jit(step, donate_argnums=(1,))
 
@@ -313,7 +353,7 @@ class ContinuousBatcher:
             # ---- merge: greedy rows take the verifier argmaxes directly
             a = jnp.where(temperature > 0, a_s, a_g)
             cand = jnp.where((temperature > 0)[:, None], cand_s, greedy)
-            return a, cand, cache
+            return a, cand, constrain(cache)
 
         if self.speculative_k:
             self._step_spec = jax.jit(step_spec, donate_argnums=(1,))
@@ -469,6 +509,12 @@ class ContinuousBatcher:
         extends the previous full prompt)."""
         if not self.prefix_cache_size:
             raise ValueError("prefix_cache_size is 0: enable the prefix cache first")
+        if self.mesh is not None:
+            with self.mesh:
+                return self._register_prefix(tokens)
+        return self._register_prefix(tokens)
+
+    def _register_prefix(self, tokens: np.ndarray) -> None:
         tokens = np.asarray(tokens, np.int32)
         t = len(tokens)
         entry = self._prefix_lookup(np.concatenate([tokens, [0]]).astype(np.int32))
@@ -542,6 +588,16 @@ class ContinuousBatcher:
         """Advance every active slot; returns {request_id: token} (one token
         per slot), or {request_id: [tokens]} when ``speculative_k`` or
         ``decode_quantum`` batches multiple tokens per dispatch."""
+        if self.mesh is not None:
+            # sharded serving: run host-driven dispatches under the mesh so
+            # GSPMD lowers them against the (model-axis) cache/param shardings
+            # regardless of which thread calls step() (mesh context is
+            # thread-local — the serving scheduler runs on its own thread)
+            with self.mesh:
+                return self._step_dispatch()
+        return self._step_dispatch()
+
+    def _step_dispatch(self):
         if self.speculative_k:
             return self._step_speculative()
         if self.decode_quantum > 1:

@@ -290,6 +290,8 @@ def main(
     attn_alg: Optional[str] = None,
     precision: str = "bfloat16",
     weights_mode: str = "auto",
+    tp: int = 1,
+    fsdp: int = 1,
     kv_cache_dtype: Optional[str] = None,
     decode_quantum: int = 1,
     speculative_k: int = 0,
@@ -309,11 +311,16 @@ def main(
     tokenizer = Tokenizer(Path(checkpoint_dir))
     cfg, params = load_and_prepare(
         Path(checkpoint_dir), quantize=quantize, attn_alg=attn_alg,
-        precision=precision,
+        precision=precision, tp=tp, fsdp=fsdp,
     )
+    mesh = None
+    if tp > 1 or fsdp > 1:
+        from ..parallel import sharding as sh
+
+        mesh = sh.make_mesh(data=1, fsdp=fsdp, model=tp)
     batcher = ContinuousBatcher(
         cfg, params, n_slots=n_slots, max_seq_length=max_seq_length,
-        weights_mode=weights_mode,
+        weights_mode=weights_mode, mesh=mesh,
         cache_dtype=getattr(jnp, kv_cache_dtype) if kv_cache_dtype else None,
         decode_quantum=decode_quantum, speculative_k=speculative_k,
         prefix_cache_size=prefix_cache_size, prefill_chunk=prefill_chunk,

@@ -472,3 +472,50 @@ def test_chunked_prefill_guards(model):
         cfg2 = dataclasses.replace(cfg, attn_alg="linearmax")
     with pytest.raises(ValueError, match="chunked prefill requires"):
         ContinuousBatcher(cfg2, params, n_slots=1, prefill_chunk=8)
+
+
+# ------------------------------------------------------------- TP serving
+
+
+def test_tp_continuous_batching_matches_single_device(model):
+    """Continuous batching over a (fsdp=2, model=2) mesh — sharded weights +
+    head-sharded slotted KV cache — emits exactly the single-device tokens
+    (the multi-chip serving path behind fastmax-serve --tp)."""
+    from fastmax_tpu.parallel import sharding as sh
+
+    cfg, params = model
+    prompts = [np.arange(1, 11, dtype=np.int32), np.asarray([5, 50, 7], np.int32)]
+    want = [reference_greedy(cfg, params, p, 8) for p in prompts]
+
+    mesh = sh.make_mesh(data=1, fsdp=2, model=2)
+    specs = sh.param_specs(cfg, params, tp=True, fsdp_size=2)
+    sharded = sh.shard_params(params, mesh, specs)
+    batcher = ContinuousBatcher(cfg, sharded, n_slots=2, max_seq_length=128,
+                                mesh=mesh, weights_mode="dense")
+    rids = [batcher.submit(p, 8, temperature=0.0) for p in prompts]
+    results = batcher.run_to_completion()
+    for rid, w in zip(rids, want):
+        assert results[rid] == w
+    # the cache really is model-axis (group) sharded: 2 groups over tp=2
+    # (trailing None dims are normalized away by jax)
+    from jax.sharding import PartitionSpec
+    assert batcher.cache["k"].sharding.spec == PartitionSpec(None, None, "model")
+
+
+def test_tp_continuous_batching_chunked_and_quantum(model):
+    """TP serving composed with chunked prefill + decode_quantum."""
+    from fastmax_tpu.parallel import sharding as sh
+
+    cfg, params = model
+    prompt = np.arange(1, 40, dtype=np.int32)
+    want = reference_greedy(cfg, params, prompt, 8)
+
+    mesh = sh.make_mesh(data=1, fsdp=1, model=4)
+    specs = sh.param_specs(cfg, params, tp=True, fsdp_size=1)
+    sharded = sh.shard_params(params, mesh, specs)
+    batcher = ContinuousBatcher(cfg, sharded, n_slots=2, max_seq_length=128,
+                                mesh=mesh, weights_mode="dense",
+                                prefill_chunk=16, decode_quantum=4)
+    rid = batcher.submit(prompt, 8, temperature=0.0)
+    results = batcher.run_to_completion()
+    assert results[rid] == want
