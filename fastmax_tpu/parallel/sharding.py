@@ -119,10 +119,31 @@ def param_specs(cfg: Config, params: dict, *, tp: bool = True, fsdp_size: int = 
     return {k: walk(v, (k,)) for k, v in params.items()}
 
 
+def sanitize_spec(spec: P, shape: tuple, mesh: Mesh) -> P:
+    """Drop axis names whose mesh size doesn't divide the dim (quantized
+    scale planes and PEFT leaves have tiny dims — e.g. an absmax block
+    count of 1 — that a generic layout rule can't shard)."""
+    out = []
+    for d, names in enumerate(tuple(spec) + (None,) * (len(shape) - len(spec))):
+        if names is None:
+            out.append(None)
+            continue
+        group = names if isinstance(names, tuple) else (names,)
+        size = 1
+        for n in group:
+            size *= mesh.shape.get(n, 1)
+        out.append(names if shape[d] % size == 0 else None)
+    return P(*out)
+
+
 def shard_params(params: dict, mesh: Mesh, specs: dict) -> dict:
     """device_put the pytree with NamedShardings from ``specs``."""
     return jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+        lambda x, s: jax.device_put(
+            x, NamedSharding(mesh, sanitize_spec(s, x.shape, mesh))
+        ),
+        params,
+        specs,
     )
 
 

@@ -9,6 +9,9 @@ calibrated on the training data (ops/gptq.py) instead of round-to-nearest.
 ``--train.optimizer adamw8bit`` stores Adam moments blockwise
 int8-quantized (training/quant_optim.py) — the reference's
 PagedAdamW-under-quantization choice (finetune/lora.py:152-160).
+``--dp/--fsdp/--tp`` shard the run over a device mesh — the reference's
+FSDPStrategy-when-devices>1 flow (finetune/lora.py:86-92), as pjit
+NamedShardings (PEFT/quantized leaves fall back to fsdp/replicated).
 
 Saves method-appropriate checkpoints: full state for --method full,
 delta-only (lora_filter / adapter_filter role) otherwise.
@@ -77,6 +80,9 @@ def setup(
     lora_head: bool = False,
     adapter_prompt_length: int = 10,
     adapter_start_layer: int = 2,
+    dp: int = 1,
+    fsdp: int = 1,
+    tp: int = 1,
     train: TrainArgs = TrainArgs(
         global_batch_size=8, micro_batch_size=2, max_iters=100, learning_rate=3e-4,
         save_interval=1000, log_interval=10, max_seq_length=512,
@@ -164,6 +170,22 @@ def setup(
     out_dir.mkdir(parents=True, exist_ok=True)
     logger = choose_logger(logger_name, out_dir)
 
+    # ---- mesh: shard base + PEFT params (PEFT/unknown leaves fall back to
+    # fsdp-dim/replicated specs); the reference's FSDP-when-devices>1 flow
+    mesh = None
+    if dp * fsdp * tp > 1:
+        from ..parallel import sharding as sh
+
+        if train.micro_batch_size % (dp * fsdp) != 0:
+            raise ValueError(
+                f"micro_batch_size {train.micro_batch_size} must divide over "
+                f"dp*fsdp = {dp * fsdp} (the batch mesh axes)"
+            )
+        mesh = sh.make_mesh(data=dp, fsdp=fsdp, model=tp)
+        specs = sh.param_specs(cfg, params, tp=tp > 1, fsdp_size=fsdp)
+        params = sh.shard_params(params, mesh, specs)
+        print(f"mesh: dp={dp} fsdp={fsdp} tp={tp}")
+
     optimizer = build_optimizer(train, trainable)
     state = TrainState(params, optimizer.init(params))
 
@@ -189,7 +211,7 @@ def setup(
     state = fit(
         cfg, state, optimizer, train_iter,
         train=train, eval_args=eval, val_iter_fn=None, logger=logger, out_dir=out_dir,
-        loss_fn=sft_loss_fn(cfg), checkpoint_fn=checkpoint_fn,
+        loss_fn=sft_loss_fn(cfg), checkpoint_fn=checkpoint_fn, mesh=mesh,
     )
     logger.finalize()
     print(f"finetune done at step {state.step}; weights in {out_dir}")

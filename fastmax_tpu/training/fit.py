@@ -109,11 +109,32 @@ def fit(
     loss_fn: Optional[Callable] = None,
     checkpoint_fn: Optional[Callable] = None,
     remat: bool = True,
+    mesh=None,
 ) -> TrainState:
     """Run the training loop; batches from ``train_iter`` are (B, T+1) int
-    token matrices (inputs = [:, :-1], targets = [:, 1:])."""
+    token matrices (inputs = [:, :-1], targets = [:, 1:]).
+
+    mesh: a (data, fsdp, model) jax.sharding.Mesh. When given, batches are
+    placed with the data-parallel batch spec and all steps run SPMD against
+    the params' NamedShardings (the caller shards params before fit — the
+    reference's FSDPStrategy(devices>1) role, finetune/lora.py:86-92)."""
     loss_fn = loss_fn or make_loss_fn(cfg, remat=remat)
     grad_accum = train.gradient_accumulation_iters()
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding
+
+        from ..parallel.sharding import batch_spec
+
+        _bs = NamedSharding(mesh, batch_spec())
+
+        def place_batch(batch):
+            return jax.tree.map(
+                lambda a: jax.device_put(jnp.asarray(a, jnp.int32), _bs), batch
+            )
+    else:
+        def place_batch(batch):
+            return jax.tree.map(lambda a: jnp.asarray(a, jnp.int32), batch)
 
     # donate the grads buffer: XLA accumulates in place, so gradient
     # accumulation holds one model-sized grads copy, not two
@@ -147,7 +168,7 @@ def fit(
             batch = next(train_iter)
             # batch is either a (B, T+1) token matrix (LM loss) or a tuple
             # (inputs, labels) for SFT-style losses
-            batch = jax.tree.map(lambda a: jnp.asarray(a, jnp.int32), batch)
+            batch = place_batch(batch)
             grads, loss = accum_step(state.params, grads, batch)
             losses.append(loss)
             first = batch[0] if isinstance(batch, tuple) else batch
@@ -167,7 +188,8 @@ def fit(
                     "tokens": tokens_seen,
                     "tokens_per_sec": tps,
                     "est_mfu": mfu(tps, cfg, n_params, seq_len,
-                                   jax.devices()[0].device_kind),
+                                   jax.devices()[0].device_kind)
+                    / (mesh.size if mesh is not None else 1),
                 },
                 state.step,
             )
@@ -177,7 +199,7 @@ def fit(
             for i, vbatch in enumerate(val_iter_fn()):
                 if i >= eval_args.max_iters:
                     break
-                vbatch = jax.tree.map(lambda a: jnp.asarray(a, jnp.int32), vbatch)
+                vbatch = place_batch(vbatch)
                 val_losses.append(float(eval_step(state.params, vbatch)))
             if logger is not None and val_losses:
                 vl = float(np.mean(val_losses))

@@ -100,6 +100,9 @@ def setup(
     logger_name: str = "csv",
     seed: int = 1337,
     dtype: str = "float32",
+    dp: int = 1,
+    fsdp: int = 1,
+    tp: int = 1,
     train: TrainArgs = TrainArgs(
         global_batch_size=8, micro_batch_size=4, max_iters=100, learning_rate=6e-4,
         save_interval=1000, log_interval=10,
@@ -119,8 +122,25 @@ def setup(
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     print(f"model {cfg.name}: {n_params/1e6:.1f}M params, attn_alg={cfg.attn_alg}")
 
+    # ---- mesh: dp replicates, fsdp shards params+moments, tp megatron-shards
+    # (the reference's FSDPStrategy / HYBRID_SHARD / XLAFSDP roles in one)
+    mesh = None
+    if dp * fsdp * tp > 1:
+        from ..parallel import sharding as sh
+
+        if train.micro_batch_size % (dp * fsdp) != 0:
+            raise ValueError(
+                f"micro_batch_size {train.micro_batch_size} must divide over "
+                f"dp*fsdp = {dp * fsdp} (the batch mesh axes)"
+            )
+        mesh = sh.make_mesh(data=dp, fsdp=fsdp, model=tp)
+        specs = sh.param_specs(cfg, params, tp=tp > 1, fsdp_size=fsdp)
+        params = sh.shard_params(params, mesh, specs)
+        print(f"mesh: dp={dp} fsdp={fsdp} tp={tp}")
+
     optimizer = build_optimizer(train)
     ckpt_dir = out_dir / "state"
+    # optimizer moments inherit the params' shardings through init
     fresh = TrainState(params, optimizer.init(params))
     if io.resume and ckpt_dir.exists():
         state = load_train_state(ckpt_dir, template=fresh)
@@ -137,6 +157,7 @@ def setup(
         cfg, state, optimizer, train_iter,
         train=train, eval_args=eval, val_iter_fn=val_iter_fn, logger=logger,
         out_dir=out_dir, checkpoint_fn=lambda s: save_train_state(s, ckpt_dir),
+        mesh=mesh,
     )
     print(f"done: {state.step} steps in {time.perf_counter()-t0:.1f}s")
 
