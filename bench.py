@@ -1,7 +1,7 @@
 """Benchmark entry point for the driver.
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "tok/s", "vs_baseline": N, "ttft_ms": N}
 
 Measures single-chip KV-cached decode throughput (tokens/sec) on the real
 TPU for **Llama-2 7B with an NF4-quantized checkpoint** — the BASELINE.json
@@ -10,19 +10,27 @@ reference's Llama-2 7B bnb.nf4 on 1xA100 = 19.98 tok/s
 (tutorials/resource-tables.md:141). No model-size scaling: this is the same
 architecture at the same bit-width.
 
-Serving representation: the engine's "auto" weights mode re-represents the
-NF4 checkpoint as dense per-channel int8 at load (1 byte/param streamed
-straight into the MXU dot — see InferenceEngine.prepare_params); decode is
-weight-bandwidth-bound either way.
+Serving representation: the engine serves NF4 checkpoints as dense
+per-channel int8 ("auto" weights mode — see InferenceEngine.prepare_params;
+accuracy-Δ of that re-representation is measured and bounded in
+docs/accuracy.md). Decode is weight-bandwidth-bound: it reads 1 byte/param
+streamed straight into the MXU dot.
 
-Bench-only shortcut: weights are random, so the stacked per-layer block
-tensors are built by quantizing ONE layer and tiling it across the layer
-axis — per-token HBM traffic and compute are identical to distinct layers
-(the scan still streams every layer's bytes), and it keeps the setup under
-a minute instead of quantizing 13 GB on the host.
+Robustness (round-2 fixes for the r01 rc=124 timeout):
+  * the fake model is built ON DEVICE (jax.random int8) instead of
+    host-quantizing + uploading ~7 GB through the tunnel (was 196 s);
+  * the persistent compilation cache is enabled, so rerun compiles are warm
+    (verified working on the axon platform: 2.5 s -> 0.2 s);
+  * a wall-clock budget (env BENCH_BUDGET_S, default 1200 s) gates every
+    optional phase, and the JSON line is printed the moment one valid
+    measurement exists;
+  * SIGTERM/SIGINT print the best measurement so far before exiting, so an
+    external `timeout` still yields a parsable line.
 """
 
 import json
+import os
+import signal
 import sys
 import time
 
@@ -30,37 +38,80 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+BASELINE_7B_NF4 = 19.98  # Llama-2 7B bnb.nf4, 1xA100 (resource-tables.md:141)
+_t_start = time.perf_counter()
+_budget = float(os.environ.get("BENCH_BUDGET_S", "1200"))
+_state = {"best": 0.0, "ttft_ms": None, "printed": False}
+
+
+def _remaining() -> float:
+    return _budget - (time.perf_counter() - _t_start)
+
+
+def _emit() -> None:
+    if _state["printed"] or not _state["best"]:
+        return
+    _state["printed"] = True
+    line = {
+        "metric": "llama2_7b_nf4_decode",
+        "value": round(float(_state["best"]), 2),
+        "unit": "tok/s",
+        "vs_baseline": round(float(_state["best"] / BASELINE_7B_NF4), 3),
+    }
+    if _state["ttft_ms"] is not None:
+        line["ttft_ms"] = round(float(_state["ttft_ms"]), 1)
+    print(json.dumps(line), flush=True)
+
+
+def _on_signal(signum, frame):
+    print(f"bench: signal {signum} with {_remaining():.0f}s budget left", file=sys.stderr)
+    _emit()
+    sys.exit(0 if _state["best"] else 1)
+
+
+signal.signal(signal.SIGTERM, _on_signal)
+signal.signal(signal.SIGINT, _on_signal)
+
 
 def build_fake_7b_int8(cfg, seed: int = 0):
-    """Random-weight 7B in the NF4->int8 serving representation, built fast:
-    quantize a single layer on the host, tile over n_layer, upload."""
-    import copy
-
+    """Random 7B directly in the NF4->int8 serving representation, built on
+    the accelerator: every quantized linear becomes {q8 int8, scale8 f32}
+    with the exact pytree structure quantize_model+requantize_int8_model
+    would produce (same skip rules: wte/lm_head/experts stay dense), but no
+    host-side quantization and no host->device transfer of the ~7 GB body.
+    Weights are random either way, so per-token HBM traffic and compute are
+    identical to a real converted checkpoint."""
     from fastmax_tpu.models import gpt
-    from fastmax_tpu.ops.quant import quantize_model, requantize_int8_model
 
-    cpu = jax.devices("cpu")[0]
-    cfg1 = copy.copy(cfg)
-    cfg1.n_layer = 1
-    with jax.default_device(cpu):
-        params1 = gpt.init_params(cfg1, jax.random.PRNGKey(seed), jnp.bfloat16)
-        q1 = requantize_int8_model(quantize_model(params1, "bnb.nf4"))
+    shapes = jax.eval_shape(
+        lambda: gpt.init_params(cfg, jax.random.PRNGKey(seed), jnp.bfloat16)
+    )
+    counter = [0]
 
-    dev = jax.devices()[0]
-    n_layer = cfg.n_layer
+    def leaf_key():
+        counter[0] += 1
+        return jax.random.PRNGKey(seed * 100003 + counter[0])
 
-    def put(path, leaf):
-        arr = np.asarray(leaf)
-        if path and path[0] == "blocks":
-            arr = np.broadcast_to(arr, (n_layer,) + arr.shape[1:])
-        return jax.device_put(jnp.asarray(arr), dev)
-
-    def walk(node, path=()):
+    def build(node, path):
         if isinstance(node, dict):
-            return {k: walk(v, path + (k,)) for k, v in node.items()}
-        return put(path, node)
+            if "kernel" in node and path[0] not in ("lm_head", "wte") and "experts" not in path:
+                k = node["kernel"]
+                out = {
+                    "q8": jax.random.randint(leaf_key(), k.shape, -127, 128, jnp.int8),
+                    "scale8": jnp.full(k.shape[:-2] + k.shape[-1:], 2e-3, jnp.float32),
+                }
+                if "bias" in node:
+                    out["bias"] = jnp.zeros(node["bias"].shape, jnp.bfloat16)
+                return out
+            return {k: build(v, path + (k,)) for k, v in node.items()}
+        return (jax.random.normal(leaf_key(), node.shape, jnp.float32) * 0.02).astype(node.dtype)
 
-    return walk(q1)
+    return {k: build(v, (k,)) for k, v in shapes.items()}
 
 
 def main() -> None:
@@ -73,48 +124,49 @@ def main() -> None:
     t0 = time.perf_counter()
     params = build_fake_7b_int8(cfg)
     jax.block_until_ready(params)
-    print(f"model build+upload: {time.perf_counter()-t0:.0f}s", file=sys.stderr)
+    print(f"model build (on-device): {time.perf_counter()-t0:.0f}s", file=sys.stderr)
 
     engine = InferenceEngine(cfg, params, max_seq_length=1024, batch_size=1,
                              weights_mode="auto")
     prompt = jnp.asarray(np.random.default_rng(0).integers(1, 32000, (64,)), jnp.int32)
 
-    # warmup/compile
+    # warmup: compiles prefill + decode loop. max_new is traced (buffer is
+    # statically sized), so the short budget here does NOT add a compile.
     t0 = time.perf_counter()
-    out = engine.generate(prompt, 64 + 32, temperature=0.0, key=jax.random.PRNGKey(1))
+    out = engine.generate(prompt, 64 + 16, temperature=0.0, key=jax.random.PRNGKey(1))
     np.asarray(out)
-    print(f"compile+warmup: {time.perf_counter()-t0:.0f}s", file=sys.stderr)
+    warm_s = time.perf_counter() - t0
+    warm_tps = 16 / warm_s
+    print(f"compile+warmup: {warm_s:.0f}s", file=sys.stderr)
 
-    # TTFT: prefill + first token (warm), reported to stderr as a secondary
+    # TTFT: prefill + first-token logits, warm (BASELINE.json p50-TTFT axis)
     cache = engine.new_cache()
     t0 = time.perf_counter()
     logits, cache = engine._prefill(engine.params, prompt[None].astype(jnp.int32), cache, 0)
     np.asarray(logits[0, :8])  # fetch: tunneled runtimes ack block_until_ready early
-    ttft = time.perf_counter() - t0
-    print(f"p50 TTFT (64-token prompt, warm): {ttft*1e3:.1f} ms", file=sys.stderr)
+    _state["ttft_ms"] = (time.perf_counter() - t0) * 1e3
+    print(f"p50 TTFT (64-token prompt, warm): {_state['ttft_ms']:.1f} ms", file=sys.stderr)
     del cache
 
-    n_new = 256
-    best = 0.0
-    for _ in range(2):
+    # measurement passes, budget-gated; emit as soon as one exists
+    for n_new in (256, 256):
+        # leave 60 s slack; size the pass to the post-warmup rate if tight
+        est = n_new / max(warm_tps, 1.0) + 10
+        if _remaining() < est + 60:
+            n_new = max(32, int(max(warm_tps, 1.0) * max(_remaining() - 70, 5)))
+            if _state["best"] and _remaining() < 90:
+                break
         t0 = time.perf_counter()
-        out = engine.generate(prompt, 64 + n_new, temperature=0.0, key=jax.random.PRNGKey(2))
+        out = engine.generate(prompt, 64 + n_new, temperature=0.0,
+                              key=jax.random.PRNGKey(2))
         np.asarray(out)
         dt = time.perf_counter() - t0
-        best = max(best, (out.shape[1] - 64) / dt)
+        tps = (out.shape[1] - 64) / dt
+        print(f"pass: {out.shape[1]-64} tokens in {dt:.1f}s = {tps:.1f} tok/s", file=sys.stderr)
+        _state["best"] = max(_state["best"], tps)
 
-    baseline_7b = 19.98  # Llama-2 7B bnb.nf4, 1xA100 (resource-tables.md:141)
-    print(
-        json.dumps(
-            {
-                "metric": "llama2_7b_nf4_decode",
-                "value": round(float(best), 2),
-                "unit": "tok/s",
-                "vs_baseline": round(float(best / baseline_7b), 3),
-            }
-        )
-    )
+    _emit()
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    main()

@@ -47,7 +47,29 @@ class FastmaxLM:
             logits, _ = gpt.forward(params, cfg, idx)
             return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
 
+        @jax.jit
+        def score(params, idx, mask):
+            """Batched continuation scoring, one device round-trip per batch.
+
+            idx: (B, T) tokens; mask: (B, T) 1.0 where the token is part of
+            the scored continuation. Returns (sum logprob, is_greedy) per row
+            — the role of the reference harness's _model_call + per-token
+            host loop (eval/lm_eval_harness.py:72-74), vectorized.
+            """
+            logits, _ = gpt.forward(params, cfg, idx)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            # logits at position i predict token i+1
+            tok_lp = jnp.take_along_axis(
+                logp[:, :-1], idx[:, 1:, None].astype(jnp.int32), axis=-1
+            )[..., 0]
+            hit = jnp.argmax(logp[:, :-1], axis=-1) == idx[:, 1:]
+            m = mask[:, 1:]
+            ll = jnp.sum(tok_lp * m, axis=-1)
+            greedy = jnp.all(jnp.where(m > 0, hit, True), axis=-1)
+            return ll, greedy
+
         self._fwd = fwd
+        self._score = score
         self._cached_engine = None
 
     def _engine(self):
@@ -72,9 +94,9 @@ class FastmaxLM:
     def tok_decode(self, tokens: Sequence[int]) -> str:
         return self.tokenizer.decode(np.asarray(tokens))
 
-    def loglikelihood_tokens(self, context: List[int], continuation: List[int]) -> Tuple[float, bool]:
-        """(sum logprob of continuation, is_greedy). Pads to a fixed bucket
-        so XLA compiles a handful of shapes."""
+    def _prep_tokens(self, context: List[int], continuation: List[int]):
+        """Truncate to max_seq_length with standard lm-eval semantics and
+        return (tokens, n_ctx)."""
         if len(continuation) >= self.max_seq_length:
             # keep at least one context token; score only the continuation
             # tail that fits (standard lm-eval truncation semantics)
@@ -82,26 +104,56 @@ class FastmaxLM:
         tokens = (context + continuation)[-self.max_seq_length :]
         n_ctx = len(tokens) - len(continuation)
         assert n_ctx >= 1, (len(tokens), len(continuation))
-        # bucket to multiples of 64
-        bucket = min(self.max_seq_length, ((len(tokens) + 63) // 64) * 64)
-        pad = bucket - len(tokens)
-        idx = np.asarray(tokens + [0] * pad, np.int64)[None]
-        logp = self._fwd(self.params, jnp.asarray(idx, jnp.int32))[0]
-        total = 0.0
-        greedy = True
-        for i, tok in enumerate(continuation):
-            pos = n_ctx + i - 1  # logits at pos predict token pos+1
-            total += float(logp[pos, tok])
-            greedy &= int(jnp.argmax(logp[pos])) == tok
-        return total, greedy
+        return tokens, n_ctx
+
+    def loglikelihood_tokens(self, context: List[int], continuation: List[int]) -> Tuple[float, bool]:
+        """(sum logprob of continuation, is_greedy) for one request."""
+        return self.loglikelihood_tokens_batch([(context, continuation)])[0]
+
+    def loglikelihood_tokens_batch(
+        self, requests: List[Tuple[List[int], List[int]]]
+    ) -> List[Tuple[float, bool]]:
+        """Score many (context_tokens, continuation_tokens) pairs.
+
+        Requests are grouped by length bucket (multiples of 64) and packed
+        into (batch_size, bucket) forwards — the role of the reference
+        harness's batched _model_call; compiled shapes stay bounded (a few
+        buckets x one batch size).
+        """
+        prepped = [self._prep_tokens(c, t) for c, t in requests]
+        order = sorted(
+            range(len(prepped)), key=lambda i: len(prepped[i][0])
+        )
+        results: List[Optional[Tuple[float, bool]]] = [None] * len(prepped)
+        bs = self.batch_size
+        for group_start in range(0, len(order), bs):
+            idxs = order[group_start : group_start + bs]
+            bucket = min(
+                self.max_seq_length,
+                ((max(len(prepped[i][0]) for i in idxs) + 63) // 64) * 64,
+            )
+            toks = np.zeros((bs, bucket), np.int32)
+            mask = np.zeros((bs, bucket), np.float32)
+            for row, i in enumerate(idxs):
+                tokens, n_ctx = prepped[i]
+                toks[row, : len(tokens)] = tokens
+                mask[row, n_ctx : len(tokens)] = 1.0
+            ll, greedy = self._score(
+                self.params, jnp.asarray(toks), jnp.asarray(mask)
+            )
+            ll = np.asarray(ll)
+            greedy = np.asarray(greedy)
+            for row, i in enumerate(idxs):
+                results[i] = (float(ll[row]), bool(greedy[row]))
+        return results  # type: ignore[return-value]
 
     def loglikelihood(self, requests: List[Tuple[str, str]]) -> List[Tuple[float, bool]]:
-        out = []
+        token_reqs = []
         for context, continuation in requests:
             ctx = self.tok_encode(context) or [self.eot_token_id]
             cont = self.tok_encode(continuation)
-            out.append(self.loglikelihood_tokens(ctx, cont))
-        return out
+            token_reqs.append((ctx, cont))
+        return self.loglikelihood_tokens_batch(token_reqs)
 
     def greedy_until(self, prompt: str, max_new_tokens: int = 64, stop: Sequence[str] = ()) -> str:
         enc = self.tokenizer.encode(prompt)[-self.max_seq_length + max_new_tokens :]
@@ -113,6 +165,51 @@ class FastmaxLM:
             if s in text:
                 text = text.split(s)[0]
         return text
+
+
+class CachingLM:
+    """Persistent request-level result cache around a FastmaxLM (the role of
+    the reference's CachingLM wrapper, eval/lm_eval_harness.py:113-118,
+    ``--use_cache``): re-running an evaluation only recomputes requests not
+    yet in the sqlite-free JSON cache file. Misses are computed in one
+    batched call and appended."""
+
+    def __init__(self, lm: FastmaxLM, cache_path: Path):
+        self.lm = lm
+        self.cache_path = Path(cache_path)
+        self._cache: dict = {}
+        if self.cache_path.exists():
+            with open(self.cache_path, encoding="utf-8") as fp:
+                self._cache = json.load(fp)
+
+    def __getattr__(self, name):
+        return getattr(self.lm, name)
+
+    @staticmethod
+    def _key(context: str, continuation: str) -> str:
+        import hashlib
+
+        h = hashlib.sha256()
+        h.update(context.encode())
+        h.update(b"\x1f")
+        h.update(continuation.encode())
+        return h.hexdigest()
+
+    def loglikelihood(self, requests: List[Tuple[str, str]]) -> List[Tuple[float, bool]]:
+        keys = [self._key(c, t) for c, t in requests]
+        miss = [i for i, k in enumerate(keys) if k not in self._cache]
+        if miss:
+            computed = self.lm.loglikelihood([requests[i] for i in miss])
+            for i, res in zip(miss, computed):
+                self._cache[keys[i]] = list(res)
+            self._save()
+        return [(self._cache[k][0], bool(self._cache[k][1])) for k in keys]
+
+    def _save(self) -> None:
+        tmp = self.cache_path.with_suffix(".tmp")
+        with open(tmp, "w", encoding="utf-8") as fp:
+            json.dump(self._cache, fp)
+        tmp.replace(self.cache_path)
 
 
 # --------------------------------------------------------- local evaluators
@@ -140,12 +237,17 @@ def multiple_choice_accuracy(lm: FastmaxLM, task_file: Path) -> dict:
     arc/piqa/hellaswag record shape)."""
     with open(task_file, encoding="utf-8") as fp:
         records = json.load(fp)
+    # flatten every (query, choice) pair into one batched loglikelihood call
+    requests = [
+        (rec["query"], " " + choice) for rec in records for choice in rec["choices"]
+    ]
+    lls = iter(lm.loglikelihood(requests))
     correct = correct_norm = 0
     for rec in records:
-        scores = []
-        for choice in rec["choices"]:
-            ll, _ = lm.loglikelihood([(rec["query"], " " + choice)])[0]
-            scores.append((ll, ll / max(len(choice), 1)))
+        scores = [
+            (ll, ll / max(len(choice), 1))
+            for choice, (ll, _) in zip(rec["choices"], lls)
+        ]
         pred = int(np.argmax([s[0] for s in scores]))
         pred_norm = int(np.argmax([s[1] for s in scores]))
         correct += pred == rec["gold"]
@@ -168,16 +270,22 @@ def run_eval_harness(
     save_filepath: Optional[Path] = None,
     local_task_file: Optional[Path] = None,
     ppl_text_file: Optional[Path] = None,
+    batch_size: int = 8,
+    use_cache: Optional[Path] = None,
 ) -> dict:
     """Evaluate a checkpoint. Uses the EleutherAI harness when installed;
-    --local_task_file / --ppl_text_file run the built-in evaluators."""
+    --local_task_file / --ppl_text_file run the built-in evaluators.
+    batch_size: loglikelihood requests scored per forward;
+    use_cache: JSON file caching per-request results across runs."""
     from ..inference.generate import load_and_prepare
 
     cfg, params = load_and_prepare(
         Path(checkpoint_dir), quantize=quantize, attn_alg=attn_alg, precision=precision
     )
     tokenizer = Tokenizer(Path(checkpoint_dir))
-    lm = FastmaxLM(cfg, params, tokenizer)
+    lm = FastmaxLM(cfg, params, tokenizer, batch_size=batch_size)
+    if use_cache:
+        lm = CachingLM(lm, Path(use_cache))
 
     results: dict = {"model": cfg.name, "quantize": quantize}
     if local_task_file:

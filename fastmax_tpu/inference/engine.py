@@ -127,6 +127,7 @@ class InferenceEngine:
         cache_dtype=None,
         weights_mode: str = "auto",
         scan_unroll: int = 1,
+        mesh=None,
     ):
         """weights_mode (for quantized params):
         "quantized"     keep packed weights, dequantize inside each matmul
@@ -142,6 +143,10 @@ class InferenceEngine:
                         4-bit models preload to int8 when they fit in HBM.
         """
         self.cfg = cfg
+        # mesh: when serving TP/FSDP-sharded params, place fresh KV caches
+        # with explicit specs (heads over model, incl. int8-cache scale
+        # leaves) instead of leaving layout to GSPMD propagation
+        self.mesh = mesh
         params = self.prepare_params(params, weights_mode)
         self.params = params
         self.scan_unroll = scan_unroll
@@ -226,7 +231,15 @@ class InferenceEngine:
         if self._linear_alg:
             # O(1)-per-token running state instead of a dense KV buffer
             return gpt.init_linear_cache(self.cfg, self.batch_size)
-        return gpt.init_kv_cache(self.cfg, self.batch_size, self.max_seq_length, self.cache_dtype)
+        cache = gpt.init_kv_cache(
+            self.cfg, self.batch_size, self.max_seq_length, self.cache_dtype
+        )
+        if self.mesh is not None:
+            from ..parallel.sharding import MODEL_AXIS, shard_kv_cache
+
+            tp = self.mesh.shape.get(MODEL_AXIS, 1) > 1
+            cache = shard_kv_cache(cache, self.mesh, self.cfg, tp=tp)
+        return cache
 
     # ------------------------------------------------------------------ steps
 

@@ -187,12 +187,20 @@ def main(
     prompt_len = len(encoded)
     max_returned = prompt_len + max_new_tokens
 
+    mesh = None
+    if tp > 1 or fsdp > 1:
+        from ..parallel import sharding as sh
+
+        # deterministic over the same device list, so this is the mesh
+        # load_and_prepare sharded the params onto
+        mesh = sh.make_mesh(data=1, fsdp=fsdp, model=tp)
     engine = InferenceEngine(
         cfg, params,
         max_seq_length=max_returned + (speculative_k + 1 if speculative_k else 0),
         batch_size=1,
         weights_mode=weights_mode,
         cache_dtype=getattr(jnp, kv_cache_dtype) if kv_cache_dtype else None,
+        mesh=mesh,
     )
     spec = None
     if speculative_k and draft_checkpoint_dir:

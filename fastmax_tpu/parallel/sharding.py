@@ -105,7 +105,9 @@ def param_specs(cfg: Config, params: dict, *, tp: bool = True, fsdp_size: int = 
         elif path[0] == "lm_head" and name in ("kernel", "q4", "q8"):
             spec = [None] * (len(shape) - 1) + [col]
         elif path[0] == "wte":
-            # shard the vocab dim over model when TP (row-parallel embedding)
+            # replicated over model: the embedding lookup is a gather, and a
+            # vocab-sharded table would force an all-gather per token; with
+            # fsdp>1 the table still gets its largest dim sharded below
             spec = [None] * len(shape)
 
         spec = _fsdp_dim(tuple(spec), shape, fsdp_on, fsdp_size)
@@ -148,15 +150,31 @@ def shard_params(params: dict, mesh: Mesh, specs: dict) -> dict:
 
 
 def kv_cache_specs(cfg: Config, *, tp: bool = True) -> dict:
-    """Cache (L, B, G, S, hs): batch over data+fsdp, groups over model.
+    """Cache specs: batch over data+fsdp, query groups over model.
+
+    Covers both cache layouts of gpt.init_kv_cache — k/v (L, B, G, S, hs)
+    and, for the int8 cache, k_scale/v_scale (L, B, G, S).
 
     MQA (G == 1) cannot shard groups — the cache is replicated over model
     (the reference hits the same constraint and keeps a single KV head,
     model.py:408-416).
     """
     group_axis = MODEL_AXIS if (tp and cfg.n_query_groups > 1) else None
-    spec = P(None, (DATA_AXIS, FSDP_AXIS), group_axis, None, None)
-    return {"k": spec, "v": spec}
+    kv = P(None, (DATA_AXIS, FSDP_AXIS), group_axis, None, None)
+    scale = P(None, (DATA_AXIS, FSDP_AXIS), group_axis, None)
+    return {"k": kv, "v": kv, "k_scale": scale, "v_scale": scale}
+
+
+def shard_kv_cache(cache: dict, mesh: Mesh, cfg: Config, *, tp: bool = True) -> dict:
+    """Place a fresh KV cache on the mesh (engine path; the continuous
+    batcher builds its own slotted specs, inference/continuous.py)."""
+    specs = kv_cache_specs(cfg, tp=tp)
+    return {
+        k: jax.device_put(
+            v, NamedSharding(mesh, sanitize_spec(specs[k], v.shape, mesh))
+        )
+        for k, v in cache.items()
+    }
 
 
 def batch_spec() -> P:

@@ -170,6 +170,43 @@ def test_eval_loglikelihood_and_mc(checkpoint_dir, tmp_path):
     assert np.isfinite(ppl) and ppl > 1.0
 
 
+def test_eval_batched_loglikelihood_matches_serial(checkpoint_dir, tmp_path):
+    """Batched scoring (batch_size > 1, mixed lengths) == one-at-a-time, and
+    the CachingLM wrapper returns identical results on a warm cache."""
+    from fastmax_tpu.eval.harness import CachingLM, FastmaxLM
+    from fastmax_tpu.models.tokenizer import Tokenizer
+    from fastmax_tpu.utils.checkpoint import load_model_params
+
+    cfg, params = load_model_params(checkpoint_dir)
+    tokenizer = Tokenizer(checkpoint_dir)
+    reqs = [
+        ("hello world", " this is"),
+        ("a tiny tokenizer chat hello world this", " is a"),
+        ("chat", " hello"),
+        ("hello world this is", " a tiny tokenizer"),
+        ("tokenizer", " chat chat"),
+    ]
+    serial = FastmaxLM(cfg, params, tokenizer, batch_size=1).loglikelihood(reqs)
+    batched = FastmaxLM(cfg, params, tokenizer, batch_size=4).loglikelihood(reqs)
+    for (ls, gs), (lb, gb) in zip(serial, batched):
+        assert abs(ls - lb) < 1e-3, (ls, lb)
+        assert gs == gb
+
+    cache_file = tmp_path / "evalcache.json"
+    lm = FastmaxLM(cfg, params, tokenizer, batch_size=4)
+    cached = CachingLM(lm, cache_file)
+    first = cached.loglikelihood(reqs)
+    assert cache_file.exists()
+
+    def boom(requests):
+        raise AssertionError("cache miss on warm cache")
+
+    lm.loglikelihood = boom  # all hits: the wrapped LM must not be called
+    warm = CachingLM(lm, cache_file).loglikelihood(reqs)
+    for (l1, g1), (l2, g2) in zip(first, warm):
+        assert l1 == l2 and g1 == g2
+
+
 def test_convert_lit_roundtrip_through_hf(tmp_path, checkpoint_dir):
     """native -> HF layout -> native again preserves weights exactly."""
     from fastmax_tpu.scripts.convert_lit_checkpoint import convert_lit_checkpoint

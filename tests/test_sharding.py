@@ -191,3 +191,38 @@ def test_sharded_streaming_load_moe(tmp_path):
         np.asarray(params["blocks"]["mlp"]["experts"]["fc_1"]["kernel"]),
         atol=1e-6,
     )
+
+
+@pytest.mark.parametrize("cache_dtype", [jnp.bfloat16, jnp.int8])
+def test_tp_engine_decode_with_sharded_cache(cache_dtype):
+    """The plain engine under TP places fresh KV caches with explicit specs
+    (heads over the model axis, incl. the int8 cache's k_scale/v_scale
+    leaves) and decodes identically to the unsharded engine."""
+    from fastmax_tpu.inference.engine import InferenceEngine
+
+    cfg = small_cfg()
+    params = gpt.init_params(cfg, jax.random.PRNGKey(0))
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (12,), 1, 128)
+
+    ref_engine = InferenceEngine(cfg, params, max_seq_length=32, batch_size=1,
+                                 cache_dtype=cache_dtype)
+    ref = ref_engine.generate(prompt, 24, temperature=0.0, key=jax.random.PRNGKey(2))
+
+    mesh = sh.make_mesh(data=1, fsdp=2, model=2)
+    specs = sh.param_specs(cfg, params, tp=True, fsdp_size=2)
+    sharded = sh.shard_params(params, mesh, specs)
+    engine = InferenceEngine(cfg, sharded, max_seq_length=32, batch_size=1,
+                             cache_dtype=cache_dtype, mesh=mesh)
+
+    cache = engine.new_cache()
+    expected = sh.kv_cache_specs(cfg, tp=True)
+    for name, leaf in cache.items():
+        got = leaf.sharding.spec
+        want = sh.sanitize_spec(expected[name], leaf.shape, mesh)
+        assert got == want, (name, got, want)
+    if cache_dtype == jnp.int8:
+        assert set(cache) == {"k", "v", "k_scale", "v_scale"}
+
+    with mesh:
+        out = engine.generate(prompt, 24, temperature=0.0, key=jax.random.PRNGKey(2))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
