@@ -45,6 +45,13 @@ BLOCKWISE_MIN_T = int(os.environ.get("FASTMAX_TPU_BLOCKWISE_MIN_T", 1024))
 # fits in a 16 GB chip where a fixed 512 OOMs).
 BLOCKWISE_BLOCK = int(os.environ.get("FASTMAX_TPU_BLOCKWISE_BLOCK", 0))
 
+# trainable long-context attention kernel: "blockwise" (XLA static unroll)
+# or "flash" (Pallas fused fwd+bwd). Default: blockwise — measured faster on
+# this environment's tunneled v5e where Pallas-initiated DMA underperforms
+# XLA's (see docs/perf.md for the numbers); flip to flash on direct-attached
+# hardware.
+TRAIN_ATTN = os.environ.get("FASTMAX_TPU_TRAIN_ATTN", "blockwise")
+
 
 def _auto_block(b: int, h: int, t: int) -> int:
     limit = 512 * 2**20
@@ -130,14 +137,30 @@ def attention(
     if attn_alg == "quadratic":
         t, s = q.shape[2], k.shape[2]
         if mask is None and t == s and t >= BLOCKWISE_MIN_T:
-            # long-context training/eval: blockwise attention with the
+            # long-context training/eval: memory-efficient attention with a
             # flash-style custom VJP — O(T*block) memory instead of the
-            # dense (H, T, T) score tensor. Non-multiple lengths pad with
-            # tail tokens that, being causal, never influence real rows.
-            from .blockwise_attention import blockwise_attention
-
+            # dense (H, T, T) score tensor. Two trainable kernels:
+            #   blockwise  XLA causal static-unroll (blockwise_attention.py)
+            #   flash      Pallas fused fwd+bwd (flash_attention.py)
+            # selected by FASTMAX_TPU_TRAIN_ATTN; default measured per-chip
+            # (see docs/perf.md). Non-multiple lengths pad with tail tokens
+            # that, being causal, never influence real rows.
             kf = repeat_kv_heads(k, q.shape[1])
             vf = repeat_kv_heads(v, q.shape[1])
+            if TRAIN_ATTN == "flash" and head_size % 64 == 0:
+                from .flash_attention import flash_attention_trainable
+
+                blk = 128
+                pad = (-t) % blk
+                if pad:
+                    qp, kp, vp = (
+                        jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
+                        for x in (q, kf, vf)
+                    )
+                    return flash_attention_trainable(qp, kp, vp, scale)[:, :, :t]
+                return flash_attention_trainable(q, kf, vf, scale)
+            from .blockwise_attention import blockwise_attention
+
             blk = BLOCKWISE_BLOCK or _auto_block(q.shape[0], q.shape[1], t)
             pad = (-t) % blk
             if pad:

@@ -357,9 +357,40 @@ def _auto_head_groups(b: int, h: int, d: int, p: int,
     return groups
 
 
+# masked-fastmax implementation: "scan" (lax.scan + reversible-state custom
+# VJP — XLA-level) or "pallas" (fused fwd+bwd kernels with the d^3 state
+# VMEM-resident, ops/fastmax_pallas.py). Default: scan — measured faster on
+# this environment's tunneled v5e (Pallas-initiated DMA underperforms XLA's
+# there); flip to pallas on direct-attached hardware.
+FASTMAX_IMPL = os.environ.get("FASTMAX_TPU_FASTMAX_IMPL", "scan")
+
+
+def _masked_pallas(q, k, v, z, p: int, chunk: int):
+    """Route the masked path through the fused Pallas kernel pair. The
+    normalizer is folded via normalize_term = z/sqrt(d); sequences are
+    padded to the chunk multiple (zero tokens contribute zero state)."""
+    from .fastmax_pallas import fastmax_pallas_trainable
+
+    n = q.shape[-2]
+    c = min(chunk, max(128, n))
+    n_pad = (-n) % c
+    if n_pad:
+        pad = [(0, 0), (0, 0), (0, n_pad), (0, 0)]
+        q, k, v = (jnp.pad(x, pad) for x in (q, k, v))
+    d = q.shape[-1]
+    interpret = jax.default_backend() != "tpu"
+    o = fastmax_pallas_trainable(q, k, v, p, z / math.sqrt(d), c, interpret)
+    return o[:, :, :n, :]
+
+
 def _masked_grouped(q, k, v, z, p: int, chunk: int, head_group):
     """Masked fastmax, optionally mapped over head groups (see above)."""
     b, h, n, d = q.shape
+    if FASTMAX_IMPL == "pallas" and d <= 64:
+        # VMEM-resident state: no head-grouping needed (the d^3 state never
+        # touches HBM, so the working-set cap that motivates grouping on the
+        # scan path does not apply)
+        return _masked_pallas(q, k, v, z, p, chunk)
     groups = head_group if head_group else _auto_head_groups(b, h, d, p)
     if groups <= 1:
         return _masked_chunked_vjp(q, k, v, z, p, chunk)

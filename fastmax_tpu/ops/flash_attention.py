@@ -14,9 +14,14 @@ Layout notes:
   j <= pos0 + i and j < kv_len, where pos0/kv_len are SMEM scalars. That
   covers training (pos0=0, kv_len=T), chunked prefill at an offset, and
   padded KV buffers.
-* forward only: the training path uses XLA attention under jax.checkpoint
-  (the backward flash kernel is future work); the engine's prefill/decode
-  run under jit without grads.
+* trainable: `flash_attention_trainable` pairs a forward that also emits
+  the logsumexp rows with Pallas backward kernels (dq and dk/dv) under a
+  custom VJP — the fused-attention training path the reference gets from
+  torch SDPA's flash backend (its backward asserted in
+  tests/test_model.py:701-751). Row statistics (lse, delta) are stored as
+  (B*H, T, 1) so every kernel reads/writes (BQ, 1) tiles directly — no
+  sublane/lane relayouts and ~1000x less stat traffic than replicating
+  them across a 128-lane minor dim.
 """
 
 from __future__ import annotations
@@ -158,6 +163,284 @@ def flash_attention(
     vf = v.reshape(b * g, s, d)
     out = kernel(scalars, qf, kf, vf)
     return out.reshape(b, hq, t, d)
+
+
+# ---------------------------------------------------------------------------
+# Trainable flash attention: Pallas forward (out + lse) and Pallas backward
+# (dq kernel; dk/dv kernel) under a custom VJP. Training-path specialization:
+# T == S, pos0 = 0, causal, k/v pre-expanded to full head count (same
+# interface as ops/blockwise_attention.py so the dispatch can swap them).
+# ---------------------------------------------------------------------------
+
+
+def _fwd_lse_kernel(q_ref, k_ref, v_ref, out_ref, lse_ref, m_ref, l_ref, acc_ref,
+                    *, scale: float, block_q: int, block_k: int):
+    iq = pl.program_id(1)
+    jk = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(jk == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q_start = iq * block_q
+    k_start = jk * block_k
+
+    @pl.when(k_start <= q_start + block_q - 1)
+    def _():
+        q = q_ref[0]
+        k = k_ref[0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        q_pos = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        k_pos = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        s = jnp.where(k_pos <= q_pos, s, NEG_INF)
+
+        m_prev = m_ref[:]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_ref[:] = m_new
+
+    @pl.when(jk == nk - 1)
+    def _():
+        l = l_ref[:]
+        out_ref[0] = (acc_ref[:] / l).astype(out_ref.dtype)
+        lse_ref[0] = m_ref[:] + jnp.log(l)
+
+
+def _fwd_lse(q, k, v, scale, block_q, block_k, interpret):
+    b, h, t, d = q.shape
+    qf = q.reshape(b * h, t, d)
+    kf = k.reshape(b * h, t, d)
+    vf = v.reshape(b * h, t, d)
+    grid = (b * h, t // block_q, t // block_k)
+    qspec = pl.BlockSpec((1, block_q, d), lambda bh, iq, jk: (bh, iq, 0),
+                         memory_space=pltpu.VMEM)
+    kvspec = pl.BlockSpec((1, block_k, d), lambda bh, iq, jk: (bh, jk, 0),
+                          memory_space=pltpu.VMEM)
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_lse_kernel, scale=scale,
+                          block_q=block_q, block_k=block_k),
+        grid=grid,
+        in_specs=[qspec, kvspec, kvspec],
+        out_specs=(
+            pl.BlockSpec((1, block_q, d), lambda bh, iq, jk: (bh, iq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda bh, iq, jk: (bh, iq, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, t, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, t, 1), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out.reshape(b, h, t, d), lse
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, acc_ref,
+                   *, scale: float, block_q: int, block_k: int):
+    iq = pl.program_id(1)
+    jk = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(jk == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q_start = iq * block_q
+    k_start = jk * block_k
+
+    @pl.when(k_start <= q_start + block_q - 1)
+    def _():
+        q = q_ref[0]
+        k = k_ref[0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        q_pos = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        k_pos = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        mask = k_pos <= q_pos
+        # p = exp(s - lse); masked entries: exp(NEG_INF) = 0 via where
+        p = jnp.where(mask, jnp.exp(s - lse_ref[0]), 0.0)
+        dp = jax.lax.dot_general(
+            do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta_ref[0])
+        acc_ref[:] += jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(jk == nk - 1)
+    def _():
+        dq_ref[0] = (acc_ref[:] * scale).astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                    dk_ref, dv_ref, dk_acc, dv_acc,
+                    *, scale: float, block_q: int, block_k: int):
+    jk = pl.program_id(1)  # key block (outer)
+    iq = pl.program_id(2)  # query block (inner, sequential)
+    nq = pl.num_programs(2)
+
+    @pl.when(iq == 0)
+    def _():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q_start = iq * block_q
+    k_start = jk * block_k
+
+    # this key block only receives gradient from query rows >= k_start
+    @pl.when(q_start + block_q - 1 >= k_start)
+    def _():
+        q = q_ref[0]
+        k = k_ref[0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        q_pos = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        k_pos = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        mask = k_pos <= q_pos
+        p = jnp.where(mask, jnp.exp(s - lse_ref[0]), 0.0)
+        do = do_ref[0]
+        # dv += p^T @ do  (contract the query axis — axis 0 of both)
+        dv_acc[:] += jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do, v_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta_ref[0])
+        # dk += ds^T @ q
+        dk_acc[:] += jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(iq == nq - 1)
+    def _():
+        dk_ref[0] = (dk_acc[:] * scale).astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _bwd(q, k, v, do, lse, delta, scale, block_q, block_k, interpret):
+    b, h, t, d = q.shape
+    qf, kf, vf, dof = (x.reshape(b * h, t, d) for x in (q, k, v, do))
+
+    qspec_q = pl.BlockSpec((1, block_q, d), lambda bh, iq, jk: (bh, iq, 0),
+                           memory_space=pltpu.VMEM)
+    kvspec_q = pl.BlockSpec((1, block_k, d), lambda bh, iq, jk: (bh, jk, 0),
+                            memory_space=pltpu.VMEM)
+    statspec_q = pl.BlockSpec((1, block_q, 1), lambda bh, iq, jk: (bh, iq, 0),
+                              memory_space=pltpu.VMEM)
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale,
+                          block_q=block_q, block_k=block_k),
+        grid=(b * h, t // block_q, t // block_k),
+        in_specs=[qspec_q, kvspec_q, kvspec_q, qspec_q, statspec_q, statspec_q],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, iq, jk: (bh, iq, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, t, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qf, kf, vf, dof, lse, delta)
+
+    # dkv grid: key blocks outer, query blocks inner (sequential accumulate)
+    qspec_k = pl.BlockSpec((1, block_q, d), lambda bh, jk, iq: (bh, iq, 0),
+                           memory_space=pltpu.VMEM)
+    kvspec_k = pl.BlockSpec((1, block_k, d), lambda bh, jk, iq: (bh, jk, 0),
+                            memory_space=pltpu.VMEM)
+    statspec_k = pl.BlockSpec((1, block_q, 1), lambda bh, jk, iq: (bh, iq, 0),
+                              memory_space=pltpu.VMEM)
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale,
+                          block_q=block_q, block_k=block_k),
+        grid=(b * h, t // block_k, t // block_q),
+        in_specs=[qspec_k, kvspec_k, kvspec_k, qspec_k, statspec_k, statspec_k],
+        out_specs=(
+            pl.BlockSpec((1, block_k, d), lambda bh, jk, iq: (bh, jk, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda bh, jk, iq: (bh, jk, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, t, d), k.dtype),
+            jax.ShapeDtypeStruct((b * h, t, d), v.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qf, kf, vf, dof, lse, delta)
+    rs = lambda x: x.reshape(b, h, t, d)
+    return rs(dq), rs(dk), rs(dv)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def flash_attention_trainable(q, k, v, scale=None, block_q: int = DEFAULT_BLOCK_Q,
+                              block_k: int = DEFAULT_BLOCK_K, interpret: bool = False):
+    """Causal flash attention with a fused Pallas backward.
+
+    q, k, v: (B, H, T, D), k/v pre-expanded to full head count; T % block == 0
+    (caller pads — see ops/attention.py). Differentiable in q, k, v.
+    """
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    out, _ = _fwd_lse(q, k, v, scale, block_q, block_k, interpret)
+    return out
+
+
+def _fat_fwd(q, k, v, scale, block_q, block_k, interpret):
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    out, lse = _fwd_lse(q, k, v, scale, block_q, block_k, interpret)
+    from jax.ad_checkpoint import checkpoint_name
+
+    # named like blockwise_attention's residuals so remat="attn" saves them
+    return out, (q, k, v, checkpoint_name(out, "attn_out"),
+                 checkpoint_name(lse, "attn_lse"))
+
+
+def _fat_bwd(scale, block_q, block_k, interpret, res, do):
+    q, k, v, out, lse = res
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    b, h, t, d = q.shape
+    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1, keepdims=True).reshape(b * h, t, 1)
+    return _bwd(q, k, v, do, lse, delta, scale, block_q, block_k, interpret)
+
+
+flash_attention_trainable.defvjp(_fat_fwd, _fat_bwd)
 
 
 def flash_eligible(t: int, s: int, d: int,

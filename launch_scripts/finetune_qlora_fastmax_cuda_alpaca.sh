@@ -1,0 +1,6 @@
+#!/usr/bin/env bash
+# QLoRA finetune: Llama-2-7B on alpaca with attn_alg=fastmax_cuda
+# (reference training_scripts/finetune_QLoRA_*.sh matrix entry).
+# Usage: ./finetune_qlora_fastmax_cuda_alpaca.sh <checkpoint_dir> <alpaca_data.npz>
+set -euo pipefail
+exec "$(dirname "$0")/finetune_qlora.sh" "${1:?checkpoint_dir}" "${2:?data}" fastmax_cuda bnb.nf4

@@ -11,6 +11,7 @@ programmatically after importing jax.
 """
 
 import os
+import pathlib
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
@@ -21,7 +22,16 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-import pathlib  # noqa: E402
+# Persistent compilation cache: the suite is compile-dominated (tiny models,
+# many jitted programs over the 8-device mesh), so warm reruns — the common
+# case for local dev and the CI driver retry loop — skip most of it. The
+# cache dir is gitignored; cold CI runs simply repopulate it.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    str(pathlib.Path(__file__).parent.parent / ".jax_cache_cpu"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import sys  # noqa: E402
 
 sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))

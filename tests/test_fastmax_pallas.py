@@ -5,8 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from fastmax_tpu.ops.fastmax import fastmax
-from fastmax_tpu.ops.fastmax_pallas import fastmax_pallas
+from fastmax_tpu.ops.fastmax import fastmax, polynomial_attention_reference
+from fastmax_tpu.ops.fastmax_pallas import fastmax_pallas, fastmax_pallas_trainable
 
 
 @pytest.mark.parametrize("p", [1, 2])
@@ -18,6 +18,88 @@ def test_pallas_matches_scan(p):
     ref = fastmax(q, k, v, mask=True, p=p, chunk=128)
     out = fastmax_pallas(q, k, v, p=p, chunk=128, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2, rtol=1e-2)
+
+
+@pytest.mark.parametrize("p", [1, 2])
+def test_pallas_trainable_forward_matches_reference(p):
+    key = jax.random.PRNGKey(2)
+    b, h, n, d = 1, 2, 256, 32
+    q, k, v = (jax.random.normal(kk, (b, h, n, d), jnp.float32)
+               for kk in jax.random.split(key, 3))
+    ref = polynomial_attention_reference(q, k, v, p=p, mask=True)
+    out = fastmax_pallas_trainable(q, k, v, p, 8.0, 128, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("p", [1, 2])
+def test_pallas_trainable_grads_match_reference(p):
+    """dq/dk/dv from the reverse-walk Pallas backward vs autodiff through
+    the O(N^2) formula (ref: attention_mechanisms/fastmax.py:337-381)."""
+    key = jax.random.PRNGKey(3)
+    b, h, n, d = 1, 2, 256, 32
+    q, k, v = (jax.random.normal(kk, (b, h, n, d), jnp.float32)
+               for kk in jax.random.split(key, 3))
+    w = jax.random.normal(jax.random.fold_in(key, 9), (b, h, n, d), jnp.float32)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(polynomial_attention_reference(q, k, v, p=p, mask=True) * w)
+
+    def loss_pal(q, k, v):
+        return jnp.sum(fastmax_pallas_trainable(q, k, v, p, 8.0, 128, True) * w)
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    gp = jax.grad(loss_pal, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-4, rtol=2e-3)
+
+
+def test_pallas_trainable_multi_chunk_state_walk():
+    """4 chunks: the reverse subtraction walk must reproduce every
+    intermediate state exactly (additivity), checked via grad parity."""
+    key = jax.random.PRNGKey(4)
+    b, h, n, d = 1, 1, 256, 16
+    q, k, v = (jax.random.normal(kk, (b, h, n, d), jnp.float32) * 0.5
+               for kk in jax.random.split(key, 3))
+
+    def loss_ref(q):
+        return jnp.sum(polynomial_attention_reference(q, k, v, p=2, mask=True) ** 2)
+
+    def loss_pal(q):
+        return jnp.sum(fastmax_pallas_trainable(q, k, v, 2, 8.0, 64, True) ** 2)
+
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(loss_pal)(q)), np.asarray(jax.grad(loss_ref)(q)),
+        atol=5e-4, rtol=2e-3,
+    )
+
+
+def test_fastmax_impl_pallas_route(monkeypatch):
+    """fastmax() with FASTMAX_TPU_FASTMAX_IMPL=pallas routes the masked path
+    through the fused kernel pair (interpret on CPU) — fwd + grad parity,
+    including an odd length that needs padding."""
+    import fastmax_tpu.ops.fastmax as fm
+
+    monkeypatch.setattr(fm, "FASTMAX_IMPL", "pallas")
+    key = jax.random.PRNGKey(5)
+    b, h, n, d = 1, 2, 200, 32  # 200: pads to 256
+    q, k, v = (jax.random.normal(kk, (b, h, n, d), jnp.float32)
+               for kk in jax.random.split(key, 3))
+    ref = polynomial_attention_reference(q, k, v, p=2, mask=True)
+    out = fm.fastmax(q, k, v, mask=True, p=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=1e-3)
+
+    g = jax.random.normal(jax.random.fold_in(key, 9), q.shape)
+
+    def loss_pal(q):
+        return jnp.vdot(fm.fastmax(q, k, v, mask=True, p=2), g)
+
+    def loss_ref(q):
+        return jnp.vdot(polynomial_attention_reference(q, k, v, p=2, mask=True), g)
+
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(loss_pal)(q)), np.asarray(jax.grad(loss_ref)(q)),
+        atol=5e-4, rtol=2e-3,
+    )
 
 
 def test_pallas_multi_head_state_isolation():
