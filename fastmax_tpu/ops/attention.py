@@ -45,12 +45,27 @@ BLOCKWISE_MIN_T = int(os.environ.get("FASTMAX_TPU_BLOCKWISE_MIN_T", 1024))
 # fits in a 16 GB chip where a fixed 512 OOMs).
 BLOCKWISE_BLOCK = int(os.environ.get("FASTMAX_TPU_BLOCKWISE_BLOCK", 0))
 
-# trainable long-context attention kernel: "blockwise" (XLA static unroll)
-# or "flash" (Pallas fused fwd+bwd). Default: blockwise — measured faster on
-# this environment's tunneled v5e where Pallas-initiated DMA underperforms
-# XLA's (see docs/perf.md for the numbers); flip to flash on direct-attached
-# hardware.
+# trainable long-context attention kernel: "blockwise" (XLA static unroll),
+# "flash" (Pallas fused fwd+bwd), or "auto" (flash on TPU at
+# T >= FLASH_MIN_T). Default: blockwise. Measured on the tunneled v5e
+# (TinyLlama train step, same window): blockwise 28.6% vs flash 20.5% MFU
+# at T=1024, 26.7% vs 15.2% at T=2048 — even though the ISOLATED flash
+# fwd+bwd beats blockwise there (56 vs 70 ms at (2,8,2048,64)): at the
+# train step's 256-program grids the per-block Pallas DMA cost dominates
+# on this chip. Flash compiles ~10x faster (118 s vs 1194 s at T=2048) and
+# is expected to win on direct-attached hardware — hence env-selectable.
+# See docs/perf.md.
 TRAIN_ATTN = os.environ.get("FASTMAX_TPU_TRAIN_ATTN", "blockwise")
+FLASH_MIN_T = int(os.environ.get("FASTMAX_TPU_FLASH_MIN_T", 2048))
+
+
+def _train_kernel(t: int, head_size: int) -> str:
+    if TRAIN_ATTN == "auto":
+        import jax
+
+        on_tpu = jax.default_backend() == "tpu"
+        return "flash" if (on_tpu and t >= FLASH_MIN_T and head_size % 64 == 0) else "blockwise"
+    return TRAIN_ATTN
 
 
 def _auto_block(b: int, h: int, t: int) -> int:
@@ -147,7 +162,7 @@ def attention(
             # that, being causal, never influence real rows.
             kf = repeat_kv_heads(k, q.shape[1])
             vf = repeat_kv_heads(v, q.shape[1])
-            if TRAIN_ATTN == "flash" and head_size % 64 == 0:
+            if _train_kernel(t, head_size) == "flash" and head_size % 64 == 0:
                 from .flash_attention import flash_attention_trainable
 
                 blk = 128
