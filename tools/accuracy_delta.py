@@ -24,6 +24,10 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 import json
 from pathlib import Path
 
