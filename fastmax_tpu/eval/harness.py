@@ -155,8 +155,35 @@ class FastmaxLM:
             token_reqs.append((ctx, cont))
         return self.loglikelihood_tokens_batch(token_reqs)
 
+    def loglikelihood_rolling_tokens(self, toks: List[int]) -> float:
+        """Rolling loglikelihood of a full token stream: every token is
+        scored exactly once, in sliding windows of ``max_seq_length`` —
+        after the first window each scored span keeps >= max_seq_length/2
+        tokens of preceding context (the lm-eval rolling-window contract;
+        ref eval/lm_eval_harness.py inherits it from the package). Replaces
+        the r02 behavior that truncated long documents to their tail."""
+        if not toks:
+            return 0.0
+        max_len = self.max_seq_length
+        stride = max(max_len // 2, 1)
+        reqs: List[Tuple[List[int], List[int]]] = []
+        first = min(len(toks), max_len - 1)
+        reqs.append(([self.eot_token_id], list(toks[:first])))
+        pos = first
+        while pos < len(toks):
+            n_new = min(stride, len(toks) - pos)
+            ctx = list(toks[max(0, pos - (max_len - n_new)) : pos])
+            reqs.append((ctx, list(toks[pos : pos + n_new])))
+            pos += n_new
+        results = self.loglikelihood_tokens_batch(reqs)
+        return float(sum(ll for ll, _ in results))
+
     def greedy_until(self, prompt: str, max_new_tokens: int = 64, stop: Sequence[str] = ()) -> str:
-        enc = self.tokenizer.encode(prompt)[-self.max_seq_length + max_new_tokens :]
+        # clamp so prompt + generation always fit the static buffer; the
+        # naive `[-max_seq + max_new:]` slice becomes `[-0:]` (keep all!)
+        # when max_new_tokens == max_seq_length
+        max_new_tokens = min(max_new_tokens, self.max_seq_length - 1)
+        enc = self.tokenizer.encode(prompt)[-(self.max_seq_length - max_new_tokens) :]
         engine = self._engine()
         out = engine.generate(jnp.asarray(enc), len(enc) + max_new_tokens,
                               temperature=0.0, eos_id=self.tokenizer.eos_id)
@@ -323,8 +350,7 @@ def _run_lm_eval(lm: FastmaxLM, tasks: List[str], num_fewshot: int, limit):
             for req in requests:
                 (text,) = req.args
                 toks = lm.tok_encode(text)
-                ll, _ = lm.loglikelihood_tokens([lm.eot_token_id], toks)
-                out.append((ll,))
+                out.append((lm.loglikelihood_rolling_tokens(toks),))
             return out
 
         def generate_until(self, requests):

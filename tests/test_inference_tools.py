@@ -207,6 +207,106 @@ def test_eval_batched_loglikelihood_matches_serial(checkpoint_dir, tmp_path):
         assert l1 == l2 and g1 == g2
 
 
+def test_rolling_loglikelihood_covers_every_token(checkpoint_dir):
+    """A document 3x the context length must have every token scored exactly
+    once by sliding windows (the r02 version silently kept only the tail)."""
+    from fastmax_tpu.eval.harness import FastmaxLM
+    from fastmax_tpu.models.tokenizer import Tokenizer
+    from fastmax_tpu.utils.checkpoint import load_model_params
+
+    cfg, params = load_model_params(checkpoint_dir)
+    tokenizer = Tokenizer(checkpoint_dir)
+    lm = FastmaxLM(cfg, params, tokenizer, max_seq_length=32, batch_size=2)
+    toks = list(np.random.default_rng(0).integers(1, cfg.vocab_size, 3 * 32))
+
+    seen_requests = []
+    orig = lm.loglikelihood_tokens_batch
+
+    def capture(reqs):
+        seen_requests.extend(reqs)
+        return orig(reqs)
+
+    lm.loglikelihood_tokens_batch = capture
+    ll = lm.loglikelihood_rolling_tokens(toks)
+    assert np.isfinite(ll) and ll < 0.0
+
+    # every window fits the context; continuations tile the stream exactly
+    scored = []
+    for ctx, cont in seen_requests:
+        assert len(ctx) + len(cont) <= lm.max_seq_length
+        assert len(ctx) >= 1
+        scored.extend(cont)
+    assert scored == toks  # full coverage, in order, no token twice
+    # all windows after the first keep at least half a context of history
+    for ctx, cont in seen_requests[1:]:
+        assert len(ctx) >= lm.max_seq_length // 2
+
+
+def test_run_lm_eval_against_stubbed_package(checkpoint_dir, monkeypatch):
+    """Exercise the _run_lm_eval integration path (never runnable for real in
+    this image: the lm_eval package is absent) against a sys.modules stub
+    providing the documented contract — api.model.LM + simple_evaluate with
+    Instance-style requests (ref eval/lm_eval_harness.py:85-133). Catches
+    signature drift in the wrapper."""
+    import sys
+    import types
+
+    from fastmax_tpu.eval import harness
+    from fastmax_tpu.models.tokenizer import Tokenizer
+    from fastmax_tpu.utils.checkpoint import load_model_params
+
+    cfg, params = load_model_params(checkpoint_dir)
+    tokenizer = Tokenizer(checkpoint_dir)
+    lm = harness.FastmaxLM(cfg, params, tokenizer, max_seq_length=64, batch_size=2)
+
+    class Instance:
+        def __init__(self, args):
+            self.args = args
+
+    captured = {}
+
+    class LM:  # the base class the wrapper must subclass
+        pass
+
+    def simple_evaluate(model=None, tasks=None, num_fewshot=0, limit=None):
+        assert isinstance(model, LM)
+        captured["lls"] = model.loglikelihood(
+            [Instance(("hello world", " this is")), Instance(("a tiny", " tokenizer"))]
+        )
+        captured["roll"] = model.loglikelihood_rolling(
+            [Instance(("hello world this is a tiny tokenizer for the chat tools",))]
+        )
+        captured["gen"] = model.generate_until(
+            [Instance(("hello world", {"until": ["\n"]}))]
+        )
+        captured["tasks"] = tasks
+        return {"results": {t: {"acc": 0.5} for t in tasks}}
+
+    pkg = types.ModuleType("lm_eval")
+    api = types.ModuleType("lm_eval.api")
+    model_mod = types.ModuleType("lm_eval.api.model")
+    model_mod.LM = LM
+    api.model = model_mod
+    pkg.api = api
+    pkg.simple_evaluate = simple_evaluate
+    monkeypatch.setitem(sys.modules, "lm_eval", pkg)
+    monkeypatch.setitem(sys.modules, "lm_eval.api", api)
+    monkeypatch.setitem(sys.modules, "lm_eval.api.model", model_mod)
+
+    results = harness._run_lm_eval(lm, ["arc_stub", "piqa_stub"], 0, None)
+    assert set(results) == {"arc_stub", "piqa_stub"}
+    assert captured["tasks"] == ["arc_stub", "piqa_stub"]
+    # loglikelihood plumbing: (float, bool) per request
+    assert len(captured["lls"]) == 2
+    for ll, greedy in captured["lls"]:
+        assert np.isfinite(ll) and ll < 0.0 and isinstance(greedy, bool)
+    # rolling: one (float,) per request
+    (roll,) = captured["roll"]
+    assert np.isfinite(roll[0]) and roll[0] < 0.0
+    # generation returns a string
+    assert isinstance(captured["gen"][0], str)
+
+
 def test_convert_lit_roundtrip_through_hf(tmp_path, checkpoint_dir):
     """native -> HF layout -> native again preserves weights exactly."""
     from fastmax_tpu.scripts.convert_lit_checkpoint import convert_lit_checkpoint
