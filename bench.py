@@ -38,15 +38,37 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+_repo = os.path.dirname(os.path.abspath(__file__))
+jax.config.update("jax_compilation_cache_dir", os.path.join(_repo, ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+
+def _seed_cache() -> None:
+    """Pre-populate the (gitignored) compile cache from the committed seed
+    (bench_seed_cache/, curated by tools/curate_seed_cache.py): the decode
+    loop + prefill executables for THIS benchmark are ~6 MB, and a cold
+    compile of them through the tunnel costs minutes (r02: 835 s cold vs
+    163 s warm). Stale keys are harmless — they just miss."""
+    seed = os.path.join(_repo, "bench_seed_cache")
+    dst = os.path.join(_repo, ".jax_cache")
+    if not os.path.isdir(seed):
+        return
+    os.makedirs(dst, exist_ok=True)
+    import shutil
+
+    for name in os.listdir(seed):
+        target = os.path.join(dst, name)
+        if not os.path.exists(target):
+            shutil.copy2(os.path.join(seed, name), target)
+
+
+_seed_cache()
 
 BASELINE_7B_NF4 = 19.98  # Llama-2 7B bnb.nf4, 1xA100 (resource-tables.md:141)
 _t_start = time.perf_counter()
 _budget = float(os.environ.get("BENCH_BUDGET_S", "1200"))
-_state = {"best": 0.0, "ttft_ms": None, "printed": False}
+_state = {"best": 0.0, "ttft_ms": None, "peak_gb": None, "printed": False}
 
 
 def _remaining() -> float:
@@ -65,6 +87,16 @@ def _emit() -> None:
     }
     if _state["ttft_ms"] is not None:
         line["ttft_ms"] = round(float(_state["ttft_ms"]), 1)
+    if _state["peak_gb"] is None:
+        try:  # every reference baseline row pairs tok/s with peak GB;
+            # on axon the runtime reports no stats -> live-array floor
+            from fastmax_tpu.utils.profiling import device_memory_stats
+
+            _state["peak_gb"] = device_memory_stats()["peak_bytes_in_use"] / 2**30
+        except Exception:
+            pass
+    if _state["peak_gb"]:
+        line["peak_gb"] = round(float(_state["peak_gb"]), 2)
     print(json.dumps(line), flush=True)
 
 

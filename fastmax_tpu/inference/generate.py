@@ -244,6 +244,14 @@ def main(
             file=sys.stderr,
         )
 
+    # peak device memory next to the tok/s line — every reference baseline
+    # row pairs both (ref generate/base.py:186-187, resource-tables.md)
+    from ..utils.profiling import device_memory_stats
+
+    peak = device_memory_stats()["peak_bytes_in_use"]
+    if peak:
+        print(f"Memory used: {peak / 2**30:.02f} GB", file=sys.stderr)
+
 
 def cli() -> None:
     from ..utils.cli import CLI

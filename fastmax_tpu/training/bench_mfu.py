@@ -64,6 +64,9 @@ def run(
 ) -> dict:
     """Measure train-step MFU. fsdp=0 means shard over all visible devices
     when more than one is present (single chip: no sharding)."""
+    from ..utils.profiling import enable_compile_cache
+
+    enable_compile_cache()
     cfg = Config.from_name(model_name)
     cfg.block_size = min(cfg.block_size, seq_len)
     if attn_alg:

@@ -26,6 +26,21 @@ import jax
 TPU_HBM_BW = {"v4": 1.2e12, "v5e": 819e9, "v5 lite": 819e9, "v5p": 2.77e12}
 
 
+def enable_compile_cache(cache_dir: "str | Path | None" = None) -> None:
+    """Enable the persistent XLA compilation cache (idempotent).
+
+    Cold compiles through the tunnel cost minutes (docs/perf.md:15);
+    every long-lived entry point (bench.py, bench_mfu, tools/*) opts in so
+    reruns within and across rounds skip them. Default location: the repo's
+    gitignored .jax_cache/.
+    """
+    if cache_dir is None:
+        cache_dir = Path(__file__).resolve().parents[2] / ".jax_cache"
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+
 @contextlib.contextmanager
 def trace(log_dir: "str | Path" = "/tmp/jax-trace", host_tracer_level: int = 2):
     """Capture a profiler trace: ``with trace("dir"): step()``."""
@@ -42,13 +57,26 @@ def annotate(name: str):
 
 
 def device_memory_stats(device=None) -> dict:
+    """HBM usage. The axon-tunneled runtime returns no memory_stats at all;
+    fall back to summing live device arrays — an honest *floor* (excludes
+    in-step transients/fragmentation), flagged via source="live_arrays"."""
     device = device or jax.devices()[0]
     stats = device.memory_stats() or {}
-    return {
+    out = {
         "bytes_in_use": stats.get("bytes_in_use", 0),
         "peak_bytes_in_use": stats.get("peak_bytes_in_use", 0),
         "bytes_limit": stats.get("bytes_limit", 0),
+        "source": "runtime",
     }
+    if not out["peak_bytes_in_use"]:
+        live = sum(
+            x.nbytes for x in jax.live_arrays()
+            if any(d is device for d in getattr(x, "devices", lambda: [])())
+        )
+        out["bytes_in_use"] = max(out["bytes_in_use"], live)
+        out["peak_bytes_in_use"] = max(out["bytes_in_use"], live)
+        out["source"] = "live_arrays"
+    return out
 
 
 def hbm_bw_peak(device=None) -> float:

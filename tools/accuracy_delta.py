@@ -104,21 +104,25 @@ def main() -> None:
             p = gptq_quantize_model(jax.tree.map(jnp.asarray, params), cfg, calib)
         else:
             p = quant.quantize_model(params, mode)
-        lm = FastmaxLM(cfg, p, tok, max_seq_length=args.seq_len, batch_size=8)
+        lm = FastmaxLM(cfg, p, tok, max_seq_length=args.seq_len, batch_size=32)
         ppl = perplexity_on_tokens(lm, test_bytes, stride=args.seq_len - 1)
         mc = multiple_choice_accuracy(lm, task_file)
         bpb = float(np.log2(ppl))
-        rows.append((mode, ppl, bpb, mc["acc"], mc["acc_norm"]))
+        se = float(np.sqrt(mc["acc"] * (1 - mc["acc"]) / mc["n"]))  # binomial se
+        rows.append((mode, ppl, bpb, mc["acc"], mc["acc_norm"], se, mc["n"]))
         print(f"{mode:12s} ppl={ppl:8.4f} bits/byte={bpb:6.4f} "
-              f"acc={mc['acc']:.3f} acc_norm={mc['acc_norm']:.3f}", flush=True)
+              f"acc={mc['acc']:.3f}±{se:.3f} acc_norm={mc['acc_norm']:.3f}",
+              flush=True)
 
     base = rows[0]
-    print("\n| mode | byte ppl | bits/byte | cloze acc | Δacc vs fp32 |")
+    print("\n| mode | byte ppl | bits/byte | cloze acc (±se) | Δacc vs fp32 |")
     print("|---|---|---|---|---|")
-    for mode, ppl, bpb, acc, accn in rows:
-        print(f"| {mode} | {ppl:.4f} | {bpb:.4f} | {acc:.3f} | {acc - base[3]:+.3f} |")
-    out = {m: {"ppl": p_, "bits_per_byte": b, "acc": a, "acc_norm": an}
-           for m, p_, b, a, an in rows}
+    for mode, ppl, bpb, acc, accn, se, n in rows:
+        print(f"| {mode} | {ppl:.4f} | {bpb:.4f} | {acc:.3f} ± {se:.3f} "
+              f"| {acc - base[3]:+.3f} |")
+    out = {m: {"ppl": p_, "bits_per_byte": b, "acc": a, "acc_norm": an,
+               "acc_se": s, "n_tasks": n}
+           for m, p_, b, a, an, s, n in rows}
     Path("eval_assets/accuracy_delta.json").write_text(json.dumps(out, indent=2))
 
 
