@@ -21,6 +21,7 @@ granularity (a memory win for GQA models like Llama-2-70B/Mistral).
 
 from __future__ import annotations
 
+import math
 import os
 from typing import Optional
 
@@ -46,25 +47,97 @@ BLOCKWISE_MIN_T = int(os.environ.get("FASTMAX_TPU_BLOCKWISE_MIN_T", 1024))
 BLOCKWISE_BLOCK = int(os.environ.get("FASTMAX_TPU_BLOCKWISE_BLOCK", 0))
 
 # trainable long-context attention kernel: "blockwise" (XLA static unroll),
-# "flash" (Pallas fused fwd+bwd), or "auto" (flash on TPU at
-# T >= FLASH_MIN_T). Default: blockwise. Measured on the tunneled v5e
-# (TinyLlama train step, same window): blockwise 28.6% vs flash 20.5% MFU
-# at T=1024, 26.7% vs 15.2% at T=2048 — even though the ISOLATED flash
-# fwd+bwd beats blockwise there (56 vs 70 ms at (2,8,2048,64)): at the
-# train step's 256-program grids the per-block Pallas DMA cost dominates
-# on this chip. Flash compiles ~10x faster (118 s vs 1194 s at T=2048) and
-# is expected to win on direct-attached hardware — hence env-selectable.
-# See docs/perf.md.
-TRAIN_ATTN = os.environ.get("FASTMAX_TPU_TRAIN_ATTN", "blockwise")
+# "flash" (Pallas split dq/dkv kernels), "flash2" (Pallas whole-head fused
+# single-pass kernels), or "auto" (probe: time blockwise vs flash2 at the
+# actual shape on first use, cache the winner — never a guess). Default:
+# flash2 — measured fastest in r03 interleaved same-window train-step
+# compares on this chip (TinyLlama-1.1B, warm steady state: 49-51% MFU vs
+# blockwise 43-44% at bs16 T=1024; 50.1±0.4% vs 37.6% at bs8 T=2048 —
+# docs/perf.md; whole-head VMEM residency, one DMA set per head, fused
+# single-pass dq+dk+dv, each block pair's scores recomputed once).
+# Shapes outside the flash2 VMEM gate (long T, d % 64 != 0) fall back to
+# blockwise, which also remains the non-TPU default.
+TRAIN_ATTN = os.environ.get("FASTMAX_TPU_TRAIN_ATTN", "flash2")
 FLASH_MIN_T = int(os.environ.get("FASTMAX_TPU_FLASH_MIN_T", 2048))
 
+_PROBE_CACHE: dict = {}
 
-def _train_kernel(t: int, head_size: int) -> str:
+
+def _probe_train_kernel(b: int, h: int, t: int, d: int) -> str:
+    """Time one fwd+bwd of each trainable kernel at the real shape and
+    cache the winner (in-process + on disk keyed by device kind/shape).
+    Runs eagerly at trace time — concrete inputs, outside any jit."""
+    import json
+    import pathlib
+    import time
+
+    import jax
+
+    key = f"{jax.devices()[0].device_kind}|{b}x{h}x{t}x{d}"
+    if key in _PROBE_CACHE:
+        return _PROBE_CACHE[key]
+    path = pathlib.Path(__file__).resolve().parents[2] / ".kernel_probe.json"
+    disk = {}
+    if path.exists():
+        try:
+            disk = json.loads(path.read_text())
+        except Exception:
+            disk = {}
+    if key in disk:
+        _PROBE_CACHE[key] = disk[key]
+        return disk[key]
+
+    from .blockwise_attention import blockwise_attention
+    from .flash_attention import _fused_eligible, flash_attention_fused
+
+    if not _fused_eligible(t, d):
+        _PROBE_CACHE[key] = "blockwise"
+        return "blockwise"
+    rng = jax.random.PRNGKey(0)
+    q, k, v = (
+        jax.random.normal(jax.random.fold_in(rng, i), (b, h, t, d), jnp.bfloat16)
+        for i in range(3)
+    )
+
+    def timed(fn) -> float:
+        g = jax.jit(jax.grad(lambda q: jnp.sum(fn(q, k, v).astype(jnp.float32))))
+        import numpy as np
+
+        np.asarray(g(q)[0, 0, 0, :1])  # compile + warm (fetch: tunnel acks early)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            np.asarray(g(q)[0, 0, 0, :1])
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    scale = 1.0 / d**0.5
+    t_block = timed(lambda q, k, v: blockwise_attention(q, k, v, scale))
+    t_flash = timed(lambda q, k, v: flash_attention_fused(q, k, v, scale))
+    winner = "flash2" if t_flash < t_block else "blockwise"
+    _PROBE_CACHE[key] = disk[key] = winner
+    try:
+        path.write_text(json.dumps(disk, indent=1))
+    except OSError:
+        pass
+    return winner
+
+
+def _train_kernel(t: int, head_size: int, b: int = 0, h: int = 0) -> str:
     if TRAIN_ATTN == "auto":
         import jax
 
-        on_tpu = jax.default_backend() == "tpu"
-        return "flash" if (on_tpu and t >= FLASH_MIN_T and head_size % 64 == 0) else "blockwise"
+        if jax.default_backend() != "tpu" or head_size % 64 or t < FLASH_MIN_T:
+            return "blockwise"
+        return _probe_train_kernel(b, h, t, head_size)
+    if TRAIN_ATTN in ("flash", "flash2") and "FASTMAX_TPU_TRAIN_ATTN" not in os.environ:
+        import jax
+
+        if jax.default_backend() != "tpu":
+            # the Pallas default is a TPU measurement; off-TPU the XLA
+            # blockwise kernel is the safe/fast path (tests force
+            # interpret-mode Pallas explicitly where they want it)
+            return "blockwise"
     return TRAIN_ATTN
 
 
@@ -162,18 +235,42 @@ def attention(
             # that, being causal, never influence real rows.
             kf = repeat_kv_heads(k, q.shape[1])
             vf = repeat_kv_heads(v, q.shape[1])
-            if _train_kernel(t, head_size) == "flash" and head_size % 64 == 0:
-                from .flash_attention import flash_attention_trainable
+            kern = _train_kernel(t, head_size, q.shape[0], q.shape[1])
+            if kern in ("flash", "flash2") and head_size % 64 == 0:
+                from .flash_attention import (
+                    DEFAULT_BLOCK_K,
+                    DEFAULT_BLOCK_Q,
+                    _fused_block,
+                    _fused_eligible,
+                    flash_attention_fused,
+                    flash_attention_trainable,
+                )
 
-                blk = 128
+                if kern == "flash2" and not _fused_eligible(t, head_size):
+                    kern = "blockwise"  # measured faster than split flash
+            else:
+                kern = "blockwise"
+            if kern in ("flash", "flash2"):
+                if kern == "flash2":
+                    # whole-head fused kernel: pad to its internal block
+                    blk = _fused_block(t) if t % 512 == 0 or t <= 512 else 512
+                    blk = max(blk, 128)
+                else:
+                    # pad so BOTH kernel block sizes divide T (advisor r02:
+                    # a hardcoded 128 here silently coupled to the kernel
+                    # defaults and would drop tail tokens if they diverge)
+                    blk = math.lcm(DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K)
                 pad = (-t) % blk
                 if pad:
-                    qp, kp, vp = (
+                    q, kf, vf = (
                         jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
                         for x in (q, kf, vf)
                     )
-                    return flash_attention_trainable(qp, kp, vp, scale)[:, :, :t]
-                return flash_attention_trainable(q, kf, vf, scale)
+                if kern == "flash2":
+                    out = flash_attention_fused(q, kf, vf, scale)
+                else:
+                    out = flash_attention_trainable(q, kf, vf, scale)
+                return out[:, :, :t] if pad else out
             from .blockwise_attention import blockwise_attention
 
             blk = BLOCKWISE_BLOCK or _auto_block(q.shape[0], q.shape[1], t)

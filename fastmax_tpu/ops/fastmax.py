@@ -359,20 +359,37 @@ def _auto_head_groups(b: int, h: int, d: int, p: int,
 
 # masked-fastmax implementation: "scan" (lax.scan + reversible-state custom
 # VJP — XLA-level) or "pallas" (fused fwd+bwd kernels with the d^3 state
-# VMEM-resident, ops/fastmax_pallas.py). Default: scan — measured faster on
-# this environment's tunneled v5e (Pallas-initiated DMA underperforms XLA's
-# there); flip to pallas on direct-attached hardware.
-FASTMAX_IMPL = os.environ.get("FASTMAX_TPU_FASTMAX_IMPL", "scan")
+# VMEM-resident, ops/fastmax_pallas.py). Default (r03, measured): pallas on
+# TPU — in-model p=2 bs16 trains at 16-20% MFU with no faults vs the scan's
+# 7% (16-way head-group serialization of its 537 MB HBM state) and two
+# TPU-worker crashes in the same process-isolated A/B
+# (bench_results/fastmax_ab_r03.jsonl); scan elsewhere (CPU Pallas would
+# run interpreted). Env-overridable; None = resolve per-backend at call.
+FASTMAX_IMPL = os.environ.get("FASTMAX_TPU_FASTMAX_IMPL") or None
+
+
+def _resolve_impl() -> str:
+    if FASTMAX_IMPL:
+        return FASTMAX_IMPL
+    return "pallas" if jax.default_backend() == "tpu" else "scan"
 
 
 def _masked_pallas(q, k, v, z, p: int, chunk: int):
     """Route the masked path through the fused Pallas kernel pair. The
     normalizer is folded via normalize_term = z/sqrt(d); sequences are
-    padded to the chunk multiple (zero tokens contribute zero state)."""
+    padded up to a chunk multiple. Padding correctness relies on the pad
+    being TAIL-only under the causal mask: padded rows do feed the count
+    normalizer `cnt` of later chunks, but no real token sits after them,
+    so no real row's output is affected (the padded rows themselves are
+    sliced off on return)."""
     from .fastmax_pallas import fastmax_pallas_trainable
 
     n = q.shape[-2]
-    c = min(chunk, max(128, n))
+    # chunk must stay sublane-aligned: clamp to a multiple of 128 (never
+    # n itself, which may be ragged — e.g. chunk=256 with n=130 must not
+    # yield a 130-row chunk Mosaic would reject or pad poorly)
+    c = min(chunk, max(128, ((n + 127) // 128) * 128))
+    c = max(128, (c // 128) * 128)
     n_pad = (-n) % c
     if n_pad:
         pad = [(0, 0), (0, 0), (0, n_pad), (0, 0)]
@@ -409,7 +426,29 @@ def _masked_grouped(q, k, v, z, p: int, chunk: int, head_group):
     return o.transpose(1, 0, 2, 3, 4).reshape(b, h, n, d)
 
 
-@partial(jax.jit, static_argnames=("mask", "normalize_term", "tensors_normalized", "p", "chunk", "head_group"))
+@partial(jax.jit, static_argnames=("mask", "normalize_term", "tensors_normalized",
+                                   "p", "chunk", "head_group", "impl"))
+def _fastmax_jit(q, k, v, mask, normalize_term, tensors_normalized, p, chunk,
+                 head_group, impl):
+    if p not in (1, 2):
+        raise ValueError(f"p should be 1 or 2, got p={p}")
+    dtype = q.dtype
+    d = q.shape[-1]
+    z = 1.0 if tensors_normalized else float(normalize_term) * math.sqrt(d)
+    if mask and impl == "pallas" and d <= 64:
+        # route BEFORE the f32 upcast: the kernel keys its pairwise-matmul
+        # operand precision off the input dtype (bf16 in-model = 2x MXU
+        # rate on the dominant (C, D^2) matmuls; accumulation stays f32)
+        return _masked_pallas(q, k, v, z, p, _auto_chunk(chunk, q.shape[-2]))
+    q, k, v = (x.astype(jnp.float32) for x in (q, k, v))
+    if mask:
+        # custom VJP: reversible-state backward, O(d^3) memory (see above)
+        o = _masked_grouped(q, k, v, z, p, _auto_chunk(chunk, q.shape[-2]), head_group)
+    else:
+        o = _unmasked_linear(q, k, v, z, p)
+    return o.astype(dtype)
+
+
 def fastmax(q, k, v, mask: bool = True, normalize_term: float = 8.0,
             tensors_normalized: bool = False, p: int = 1,
             chunk: int = DEFAULT_CHUNK, head_group: int | None = None):
@@ -422,19 +461,16 @@ def fastmax(q, k, v, mask: bool = True, normalize_term: float = 8.0,
     ``head_group``: number of sequentially-processed head groups for the
     masked p=2 path (None = auto-sized to bound the d^3 scan-state working
     set; 1 = process all heads at once).
+
+    The FASTMAX_IMPL backend choice is resolved HERE, outside jit, and
+    passed down as a static argument: it used to be read inside the jitted
+    body, where the first trace was cached by shape and silently pinned
+    the backend for every later call — r03's in-model scan-vs-pallas
+    comparisons initially measured the same executable twice because of
+    exactly this.
     """
-    if p not in (1, 2):
-        raise ValueError(f"p should be 1 or 2, got p={p}")
-    dtype = q.dtype
-    q, k, v = (x.astype(jnp.float32) for x in (q, k, v))
-    d = q.shape[-1]
-    z = 1.0 if tensors_normalized else float(normalize_term) * math.sqrt(d)
-    if mask:
-        # custom VJP: reversible-state backward, O(d^3) memory (see above)
-        o = _masked_grouped(q, k, v, z, p, _auto_chunk(chunk, q.shape[-2]), head_group)
-    else:
-        o = _unmasked_linear(q, k, v, z, p)
-    return o.astype(dtype)
+    return _fastmax_jit(q, k, v, mask, normalize_term, tensors_normalized,
+                        p, chunk, head_group, _resolve_impl())
 
 
 def _hack_normalize(q, k):

@@ -10,11 +10,18 @@ chunk steps. Each chunk does:
 
   intra:  C x C polynomial scores, causal-masked, f(s) = 1 + s (+ s^2/2)
   inter:  q-contractions against the carried state; the degree-2 term
-          avoids materializing (C, D^2) outer products (Mosaic cannot
-          reshape minor dims) by looping row-blocks of the state:
-          f2 = sum_m q[:, m] * (q @ S3[m])   with S3[m] = state rows m*D..m*D+D
+          avoids materializing outer products via a reshape (Mosaic cannot
+          reshape minor dims) by building the (C, D^2) pairwise-product
+          matrix Q2[t, m*D+j] = q[t,m]*q[t,j] with two matmuls against
+          constant 0/1 expansion bases (_pair_basis), then
+          f2 = Q2 @ S3                       one full-width MXU matmul
           g2 = rowsum((q @ KK) * q)          with KK the (D, D) gram sum
-  update: state += chunk contributions (the S3 update loops the same way)
+  update: S3 += K2^T @ v with K2 the same pairwise expansion of k
+
+  (r02 iterated D per-state-row (C,D)@(D,D) matmuls with one-hot column
+  extraction — <=50% MXU lane occupancy and D serialized loop trips; the
+  pair-expansion form trades ~2x the MACs for ~D/3 fewer, full-width
+  dispatches and was measured far faster in-model — docs/perf.md r03.)
 
 Same math as ops/fastmax.py's lax.scan formulation (parity tested).
 
@@ -48,9 +55,42 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_CHUNK = 128
 
 
+def _pair_basis(d: int, dtype=jnp.float32):
+    """Constant (d, d*d) 0/1 expansion bases: E[m, m*d+j] = 1 for all j;
+    F[j, m*d+j] = 1 for all m. x @ E replicates each column of x d times
+    block-wise (col c -> x[:, c//d]); x @ F tiles x d times (col c ->
+    x[:, c%d]). Their elementwise product is the pairwise-product matrix
+    X2[t, m*d+j] = x[t,m]*x[t,j] — the flattened outer product, built
+    without any minor-dim reshape. Backward contractions reuse the same
+    bases (fold: Y @ E^T sums col blocks, Y @ F^T sums col strides)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (d, d * d), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (d, d * d), 1)
+    e = (cols // d == rows).astype(dtype)
+    f = (cols % d == rows).astype(dtype)
+    return e, f
+
+
+def _dot(a, b):
+    """a @ b, f32 accumulate."""
+    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _dot_nt(a, b):
+    """a @ b^T (contract last dims), f32 accumulate."""
+    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _dot_tn(a, b):
+    """a^T @ b (contract first dims), f32 accumulate."""
+    return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
 def _kernel(q_ref, k_ref, v_ref, o_ref,
             s_v, s_kv, s_k, s_kkv, s_kk, cnt,
-            *, z: float, p: int, chunk: int, d: int):
+            *, z: float, p: int, chunk: int, d: int, pd):
     c = pl.program_id(1)  # chunk index (sequential per bh)
 
     @pl.when(c == 0)
@@ -93,20 +133,14 @@ def _kernel(q_ref, k_ref, v_ref, o_ref,
                                 preferred_element_type=jnp.float32)
         g_acc += jnp.sum(t * q, axis=1, keepdims=True) / (2.0 * z * z)
 
-        # f2 = sum_m q[:, m] * (q @ S3[m]) / (2 z^2), S3[m] = rows m*D..m*D+D
-        def f2_body(m, acc):
-            s3m = s_kkv[pl.ds(m * d, d), :]  # (D, D)
-            tm = jax.lax.dot_general(q, s3m, (((1,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            # column m of q via a one-hot contraction (Mosaic has no
-            # dynamic_slice on values)
-            onehot = (jax.lax.broadcasted_iota(jnp.int32, (d, 1), 0) == m).astype(jnp.float32)
-            qm = jax.lax.dot_general(q, onehot, (((1,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            return acc + qm * tm
-
-        f2 = jax.lax.fori_loop(0, d, f2_body, jnp.zeros((chunk, d), jnp.float32))
-        f_acc += f2 / (2.0 * z * z)
+        # f2 = (Q2 @ S3) / (2 z^2) — one full-width matmul (see _pair_basis).
+        # Pairwise operands run in the INPUT dtype (bf16 in-model: 2x MXU
+        # rate on the dominant (C, D^2) matmuls; f32 inputs keep f32 so the
+        # parity tests see exact math); accumulation is always f32.
+        e_b, f_b = _pair_basis(d, pd)
+        qp = q_ref[0].astype(pd)
+        q2 = (_dot(qp, e_b) * _dot(qp, f_b)).astype(pd)  # (C, D^2)
+        f_acc += _dot(q2, s_kkv[:].astype(pd)) / (2.0 * z * z)
 
     o_ref[0] = (f_acc / g_acc).astype(o_ref.dtype)
 
@@ -119,17 +153,9 @@ def _kernel(q_ref, k_ref, v_ref, o_ref,
     if p == 2:
         s_kk[:] += jax.lax.dot_general(k, k, (((0,), (0,)), ((), ())),
                                        preferred_element_type=jnp.float32)
-
-        def upd_body(m, _):
-            onehot = (jax.lax.broadcasted_iota(jnp.int32, (d, 1), 0) == m).astype(jnp.float32)
-            km = jax.lax.dot_general(k, onehot, (((1,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            contrib = jax.lax.dot_general(k * km, v, (((0,), (0,)), ((), ())),
-                                          preferred_element_type=jnp.float32)
-            s_kkv[pl.ds(m * d, d), :] += contrib
-            return 0
-
-        jax.lax.fori_loop(0, d, upd_body, 0)
+        kp = k_ref[0].astype(pd)
+        k2 = (_dot(kp, e_b) * _dot(kp, f_b)).astype(pd)  # (C, D^2)
+        s_kkv[:] += _dot_tn(k2, v.astype(pd))            # (D^2, D)
 
 
 # ---------------------------------------------------------------------------
@@ -137,15 +163,10 @@ def _kernel(q_ref, k_ref, v_ref, o_ref,
 # ---------------------------------------------------------------------------
 
 
-def _onehot_col(m, d):
-    """(d, 1) one-hot column for dynamic column extraction / scatter."""
-    return (jax.lax.broadcasted_iota(jnp.int32, (d, 1), 0) == m).astype(jnp.float32)
-
-
 def _fwd_train_kernel(q_ref, k_ref, v_ref,
                       o_ref, g_ref, skv_ref, sk_ref, skkv_ref, skk_ref,
                       s_v, s_kv, s_k, s_kkv, s_kk, cnt,
-                      *, z: float, p: int, chunk: int, d: int):
+                      *, z: float, p: int, chunk: int, d: int, pd):
     c = pl.program_id(1)
     nc = pl.num_programs(1)
 
@@ -186,16 +207,10 @@ def _fwd_train_kernel(q_ref, k_ref, v_ref,
                                 preferred_element_type=jnp.float32)
         g_acc += jnp.sum(t * q, axis=1, keepdims=True) / (2.0 * z * z)
 
-        def f2_body(m, acc):
-            s3m = s_kkv[pl.ds(m * d, d), :]
-            tm = jax.lax.dot_general(q, s3m, (((1,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            qm = jax.lax.dot_general(q, _onehot_col(m, d), (((1,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            return acc + qm * tm
-
-        f2 = jax.lax.fori_loop(0, d, f2_body, jnp.zeros((chunk, d), jnp.float32))
-        f_acc += f2 / (2.0 * z * z)
+        e_b, f_b = _pair_basis(d, pd)
+        qp = q_ref[0].astype(pd)
+        q2 = (_dot(qp, e_b) * _dot(qp, f_b)).astype(pd)  # (C, D^2)
+        f_acc += _dot(q2, s_kkv[:].astype(pd)) / (2.0 * z * z)
 
     o_ref[0] = (f_acc / g_acc).astype(o_ref.dtype)
     g_ref[0] = g_acc
@@ -208,16 +223,9 @@ def _fwd_train_kernel(q_ref, k_ref, v_ref,
     if p == 2:
         s_kk[:] += jax.lax.dot_general(k, k, (((0,), (0,)), ((), ())),
                                        preferred_element_type=jnp.float32)
-
-        def upd_body(m, _):
-            km = jax.lax.dot_general(k, _onehot_col(m, d), (((1,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            contrib = jax.lax.dot_general(k * km, v, (((0,), (0,)), ((), ())),
-                                          preferred_element_type=jnp.float32)
-            s_kkv[pl.ds(m * d, d), :] += contrib
-            return 0
-
-        jax.lax.fori_loop(0, d, upd_body, 0)
+        kp = k_ref[0].astype(pd)
+        k2 = (_dot(kp, e_b) * _dot(kp, f_b)).astype(pd)
+        s_kkv[:] += _dot_tn(k2, v.astype(pd))
 
     @pl.when(c == nc - 1)
     def _():
@@ -236,7 +244,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, g_ref,
                 dq_ref, dk_ref, dv_ref,
                 s_kv, s_k, s_kkv, s_kk,
                 d_sv, d_skv, d_sk, d_skkv, d_skk,
-                *, z: float, p: int, chunk: int, d: int):
+                *, z: float, p: int, chunk: int, d: int, pd):
     """One reverse chunk step. Grid index c walks chunks LAST to FIRST (the
     index maps flip the chunk axis); scratch carries the state (rewound by
     subtraction — the reversibility trick) and its cotangents."""
@@ -322,49 +330,39 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, g_ref,
         dk += jax.lax.dot_general(k, d_skk[:], (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.float32)
 
-    # ---- S3 (d^2 x d) terms: one fused loop over state row-blocks m —
-    # rewind S3[m], q-side f2 gradients, U gradients, cotangent update
+    # ---- S3 (d^2 x d) terms, fully vectorized via the pair expansion —
+    # rewind S3, q-side f2 gradients, U gradients, cotangent update.
+    # Pairwise operands in the input dtype (bf16 in-model — see fwd note);
+    # all accumulations f32.
     if p == 2:
-        def m_body(m, carry):
-            dq_c, dk_c, dv_c = carry
-            oh = _onehot_col(m, d)
-            km = jax.lax.dot_general(k, oh, (((1,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            qm = jax.lax.dot_general(q, oh, (((1,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            # rewind: S3_prev[m] = S3[m] - (k * km)^T @ v
-            u3m = jax.lax.dot_general(k * km, v, (((0,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
-            s3m = s_kkv[pl.ds(m * d, d), :] - u3m
-            s_kkv[pl.ds(m * d, d), :] = s3m
-            # q-side: f2 = sum_m qm * (q @ S3_prev[m]) / (2 z^2)
-            tm = jax.lax.dot_general(q, s3m, (((1,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            dq_c += jax.lax.dot_general(qm * df, s3m, (((1,), (1,)), ((), ())),
-                                        preferred_element_type=jnp.float32) / z2
-            dq_c += jax.lax.dot_general(
-                jnp.sum(df * tm, axis=1, keepdims=True), oh,
-                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-            ) / z2
-            # U-side with the incoming cotangent dS3[m]
-            ds3m = d_skkv[pl.ds(m * d, d), :]
-            am = jax.lax.dot_general(v, ds3m, (((1,), (1,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            dk_c += km * am
-            dk_c += jax.lax.dot_general(
-                jnp.sum(k * am, axis=1, keepdims=True), oh,
-                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-            )
-            dv_c += km * jax.lax.dot_general(k, ds3m, (((1,), (0,)), ((), ())),
-                                             preferred_element_type=jnp.float32)
-            # cotangent update: dS3[m] += (q * qm)^T @ df / (2 z^2)
-            d_skkv[pl.ds(m * d, d), :] = ds3m + jax.lax.dot_general(
-                q * qm, df, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) / z2
-            return dq_c, dk_c, dv_c
-
-        dq, dk, dv = jax.lax.fori_loop(0, d, m_body, (dq, dk, dv))
+        e_b, f_b = _pair_basis(d, pd)
+        kp = k_ref[0].astype(pd)
+        vp = v_ref[0].astype(pd)
+        qp = q_ref[0].astype(pd)
+        k2 = (_dot(kp, e_b) * _dot(kp, f_b)).astype(pd)  # (C, D^2)
+        # rewind: S3_prev = S3 - K2^T @ v
+        s3 = s_kkv[:] - _dot_tn(k2, vp)
+        s_kkv[:] = s3
+        s3p = s3.astype(pd)
+        # q-side: f2 = Q2 @ S3_prev / (2 z^2)
+        qa = _dot(qp, e_b)
+        qb = _dot(qp, f_b)
+        q2 = (qa * qb).astype(pd)
+        dq2 = _dot_nt(df.astype(pd), s3p)             # (C, D^2) = df @ S3^T
+        dq += (_dot_nt((dq2 * qb).astype(pd), e_b)
+               + _dot_nt((dq2 * qa).astype(pd), f_b)) / z2
+        # U-side with the incoming cotangent dS3 (gradients from later
+        # chunks, before this chunk's own contribution is added)
+        ds3 = d_skkv[:]
+        ds3p = ds3.astype(pd)
+        dk2 = _dot_nt(vp, ds3p)                       # (C, D^2) = v @ dS3^T
+        ka = _dot(kp, e_b)
+        kb = _dot(kp, f_b)
+        dk += (_dot_nt((dk2 * kb).astype(pd), e_b)
+               + _dot_nt((dk2 * ka).astype(pd), f_b))
+        dv += _dot(k2, ds3p)                          # (C, D^2) @ (D^2, D)
+        # cotangent update: dS3 += Q2^T @ df / (2 z^2)
+        d_skkv[:] = ds3 + _dot_tn(q2, df.astype(pd)) / z2
 
     # ---- non-S3 cotangent updates (apply to the state BEFORE this chunk)
     d_sv[:] += jnp.sum(df, axis=0, keepdims=True)
@@ -380,8 +378,23 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, g_ref,
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
+
+def _pair_dtype(dtype, d: int, interpret: bool):
+    """Precision of the pairwise-expansion operands. On the real chip the
+    p=2 backward's (C, D*D) transients at d=64 exceed the 16 MB VMEM scope
+    in f32 (measured: 22.6 MB scoped-vmem compile OOM, r03) AND run the
+    MXU at half rate — so d >= 64 forces bf16 operands there (accumulation
+    is always f32; chip grad-parity holds at the tpu_kernel_check
+    tolerances). Interpret mode (CPU tests) follows the input dtype so the
+    parity suites see exact f32 math."""
+    if not interpret and d >= 64:
+        return jnp.bfloat16
+    return jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
+
+
 def _train_fwd_call(q, k, v, z: float, p: int, chunk: int, interpret: bool):
     b, h, n, d = q.shape
+    pd = _pair_dtype(q.dtype, d, interpret)
     d2 = d * d if p == 2 else 1
     dg = d if p == 2 else 1
     qf = q.reshape(b * h, n, d)
@@ -391,7 +404,7 @@ def _train_fwd_call(q, k, v, z: float, p: int, chunk: int, interpret: bool):
     seq_spec = pl.BlockSpec((1, chunk, d), lambda bh, c: (bh, c, 0),
                             memory_space=pltpu.VMEM)
     o, g, skv, sk, skkv, skk = pl.pallas_call(
-        functools.partial(_fwd_train_kernel, z=z, p=p, chunk=chunk, d=d),
+        functools.partial(_fwd_train_kernel, z=z, p=p, chunk=chunk, d=d, pd=pd),
         grid=grid,
         in_specs=[seq_spec, seq_spec, seq_spec],
         out_specs=(
@@ -430,6 +443,7 @@ def _train_fwd_call(q, k, v, z: float, p: int, chunk: int, interpret: bool):
 def _train_bwd_call_impl(q, k, v, do, o, g, skv, sk, skkv, skk,
                          z: float, p: int, chunk: int, interpret: bool):
     b, h, n, d = q.shape
+    pd = _pair_dtype(q.dtype, d, interpret)
     d2 = d * d if p == 2 else 1
     dg = d if p == 2 else 1
     nc = n // chunk
@@ -449,7 +463,7 @@ def _train_bwd_call_impl(q, k, v, do, o, g, skv, sk, skkv, skk,
         pl.BlockSpec((1, dg, dg), lambda bh, c: (bh, 0, 0), memory_space=pltpu.VMEM),
     ]
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, z=z, p=p, chunk=chunk, d=d),
+        functools.partial(_bwd_kernel, z=z, p=p, chunk=chunk, d=d, pd=pd),
         grid=(b * h, nc),
         in_specs=[seq_spec] * 5 + [g_spec] + state_specs,
         out_specs=(seq_spec, seq_spec, seq_spec),
@@ -471,6 +485,10 @@ def _train_bwd_call_impl(q, k, v, do, o, g, skv, sk, skkv, skk,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            # the vectorized p=2 backward's (C, D^2) transients need more
+            # scoped VMEM than the 16 MB default (measured 21 MB at C=128,
+            # d=64); v5e has headroom above the default scope
+            vmem_limit_bytes=100 * 2**20,
         ),
         interpret=interpret,
     )(qf, kf, vf, dof, of, g, skv, sk, skkv, skk)
@@ -517,6 +535,7 @@ def fastmax_pallas(q, k, v, *, p: int = 2, normalize_term: float = 8.0,
     assert n % chunk == 0, (n, chunk)
     z = float(normalize_term) * math.sqrt(d)
     d2 = d * d if p == 2 else 1
+    pd = _pair_dtype(q.dtype, d, interpret)
 
     qf = q.reshape(b * h, n, d)
     kf = k.reshape(b * h, n, d)
@@ -524,7 +543,7 @@ def fastmax_pallas(q, k, v, *, p: int = 2, normalize_term: float = 8.0,
 
     grid = (b * h, n // chunk)
     kernel = pl.pallas_call(
-        functools.partial(_kernel, z=z, p=p, chunk=chunk, d=d),
+        functools.partial(_kernel, z=z, p=p, chunk=chunk, d=d, pd=pd),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, chunk, d), lambda bh, c: (bh, c, 0), memory_space=pltpu.VMEM),

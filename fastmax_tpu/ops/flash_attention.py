@@ -443,6 +443,184 @@ def _fat_bwd(scale, block_q, block_k, interpret, res, do):
 flash_attention_trainable.defvjp(_fat_fwd, _fat_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Whole-head-resident fused kernels ("flash2"): grid (B*H,) — one program
+# per head, the full (T, D) tensors live in VMEM, block loops are unrolled
+# at trace time. Rationale (measured r02, docs/perf.md): at train-step
+# grids of 256+ programs the per-block Pallas DMA dominated on this chip
+# (blockwise 28.6% vs flash 20.5% MFU) even though the isolated kernel
+# won. This variant does ONE input DMA set per head, and the fused
+# backward computes dq, dk, dv in a single pass — each (q, k) block pair's
+# scores are recomputed once, not twice as in the split dq/dkv kernels.
+# VMEM bound: ~8 MB/head at T=4096, D=64 — gated by _fused_eligible.
+# ---------------------------------------------------------------------------
+
+
+def _fused_block(t: int) -> int:
+    # few, large tiles: whole-T for short sequences, else 512-wide blocks
+    # (a (512, 512) f32 score transient = 1 MB)
+    return t if t <= 512 else 512
+
+
+def _fused_eligible(t: int, d: int) -> bool:
+    # 9 (T, D) f32-equivalent live tensors + transients; 16 MB VMEM
+    return t * d * 4 * 9 <= 10 * 2**20
+
+
+def _whole_fwd_kernel(q_ref, k_ref, v_ref, out_ref, lse_ref,
+                      *, scale: float, t: int, blk: int):
+    nb = t // blk
+    for i in range(nb):
+        q = q_ref[0, i * blk:(i + 1) * blk, :]
+        m = jnp.full((blk, 1), NEG_INF, jnp.float32)
+        l = jnp.zeros((blk, 1), jnp.float32)
+        acc = jnp.zeros((blk, q_ref.shape[2]), jnp.float32)
+        for j in range(i + 1):
+            k = k_ref[0, j * blk:(j + 1) * blk, :]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * scale
+            if j == i:  # only the diagonal block needs masking
+                rows = jax.lax.broadcasted_iota(jnp.int32, (blk, blk), 0)
+                cols = jax.lax.broadcasted_iota(jnp.int32, (blk, blk), 1)
+                s = jnp.where(cols <= rows, s, NEG_INF)
+            m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m - m_new)
+            l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+            acc = acc * alpha + jax.lax.dot_general(
+                p.astype(v_ref.dtype), v_ref[0, j * blk:(j + 1) * blk, :],
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            )
+            m = m_new
+        out_ref[0, i * blk:(i + 1) * blk, :] = (acc / l).astype(out_ref.dtype)
+        lse_ref[0, i * blk:(i + 1) * blk, :] = m + jnp.log(l)
+
+
+def _whole_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                      dq_ref, dk_ref, dv_ref, dq_acc,
+                      *, scale: float, t: int, blk: int):
+    nb = t // blk
+    dq_acc[:] = jnp.zeros_like(dq_acc)
+    for j in range(nb):  # key blocks
+        k = k_ref[0, j * blk:(j + 1) * blk, :]
+        v = v_ref[0, j * blk:(j + 1) * blk, :]
+        dk = jnp.zeros((blk, k_ref.shape[2]), jnp.float32)
+        dv = jnp.zeros((blk, k_ref.shape[2]), jnp.float32)
+        for i in range(j, nb):  # query blocks at/below the diagonal
+            q = q_ref[0, i * blk:(i + 1) * blk, :]
+            do = do_ref[0, i * blk:(i + 1) * blk, :]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * scale
+            p = jnp.exp(s - lse_ref[0, i * blk:(i + 1) * blk, :])
+            if i == j:
+                rows = jax.lax.broadcasted_iota(jnp.int32, (blk, blk), 0)
+                cols = jax.lax.broadcasted_iota(jnp.int32, (blk, blk), 1)
+                p = jnp.where(cols <= rows, p, 0.0)
+            dp = jax.lax.dot_general(
+                do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            )
+            ds = p * (dp - delta_ref[0, i * blk:(i + 1) * blk, :])
+            dv += jax.lax.dot_general(
+                p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dk += jax.lax.dot_general(
+                ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dq_acc[i * blk:(i + 1) * blk, :] += jax.lax.dot_general(
+                ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        dk_ref[0, j * blk:(j + 1) * blk, :] = (dk * scale).astype(dk_ref.dtype)
+        dv_ref[0, j * blk:(j + 1) * blk, :] = dv.astype(dv_ref.dtype)
+    dq_ref[0] = (dq_acc[:] * scale).astype(dq_ref.dtype)
+
+
+def _whole_fwd(q, k, v, scale, interpret):
+    b, h, t, d = q.shape
+    blk = _fused_block(t)
+    spec = pl.BlockSpec((1, t, d), lambda bh: (bh, 0, 0), memory_space=pltpu.VMEM)
+    lspec = pl.BlockSpec((1, t, 1), lambda bh: (bh, 0, 0), memory_space=pltpu.VMEM)
+    out, lse = pl.pallas_call(
+        functools.partial(_whole_fwd_kernel, scale=scale, t=t, blk=blk),
+        grid=(b * h,),
+        in_specs=[spec, spec, spec],
+        out_specs=(spec, lspec),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, t, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, t, 1), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(q.reshape(b * h, t, d), k.reshape(b * h, t, d), v.reshape(b * h, t, d))
+    return out.reshape(b, h, t, d), lse
+
+
+def _whole_bwd(q, k, v, do, lse, delta, scale, interpret):
+    b, h, t, d = q.shape
+    blk = _fused_block(t)
+    spec = pl.BlockSpec((1, t, d), lambda bh: (bh, 0, 0), memory_space=pltpu.VMEM)
+    lspec = pl.BlockSpec((1, t, 1), lambda bh: (bh, 0, 0), memory_space=pltpu.VMEM)
+    rs3 = lambda x: x.reshape(b * h, t, d)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_whole_bwd_kernel, scale=scale, t=t, blk=blk),
+        grid=(b * h,),
+        in_specs=[spec, spec, spec, spec, lspec, lspec],
+        out_specs=(spec, spec, spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, t, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, t, d), k.dtype),
+            jax.ShapeDtypeStruct((b * h, t, d), v.dtype),
+        ),
+        scratch_shapes=[pltpu.VMEM((t, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(rs3(q), rs3(k), rs3(v), rs3(do), lse, delta)
+    return rs3(dq).reshape(b, h, t, d), dk.reshape(b, h, t, d), dv.reshape(b, h, t, d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def flash_attention_fused(q, k, v, scale=None, interpret: bool = False):
+    """Causal flash attention, whole-head VMEM residency, single-pass fused
+    backward. q, k, v: (B, H, T, D) with k/v pre-expanded; T a multiple of
+    the internal block (caller pads). Differentiable in q, k, v. Use
+    _fused_eligible(t, d) to check the VMEM gate before calling."""
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    out, _ = _whole_fwd(q, k, v, scale, interpret)
+    return out
+
+
+def _faf_fwd(q, k, v, scale, interpret):
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    out, lse = _whole_fwd(q, k, v, scale, interpret)
+    from jax.ad_checkpoint import checkpoint_name
+
+    return out, (q, k, v, checkpoint_name(out, "attn_out"),
+                 checkpoint_name(lse, "attn_lse"))
+
+
+def _faf_bwd(scale, interpret, res, do):
+    q, k, v, out, lse = res
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    b, h, t, d = q.shape
+    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1, keepdims=True).reshape(b * h, t, 1)
+    return _whole_bwd(q, k, v, do, lse, delta, scale, interpret)
+
+
+flash_attention_fused.defvjp(_faf_fwd, _faf_bwd)
+
+
 def flash_eligible(t: int, s: int, d: int,
                    block_q: int = DEFAULT_BLOCK_Q, block_k: int = DEFAULT_BLOCK_K) -> bool:
     # d=64 maps to half-width lanes (Mosaic pads). Gated to long contexts:

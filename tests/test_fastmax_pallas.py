@@ -102,6 +102,35 @@ def test_fastmax_impl_pallas_route(monkeypatch):
     )
 
 
+def test_pallas_long_sequence_grad_parity_vs_scan():
+    """Many-chunk gradient parity vs the lax.scan reversible-state VJP
+    (advisor r02: the backward reconstructs S_{c-1} = S_c - U_c by
+    subtraction, so cancellation error could grow with chunk count — bound
+    it at 16 chunks / N=2048 before trusting the kernel for long-context
+    training)."""
+    from fastmax_tpu.ops.fastmax import fastmax
+
+    key = jax.random.PRNGKey(7)
+    b, h, n, d = 1, 1, 2048, 16
+    q, k, v = (jax.random.normal(kk, (b, h, n, d), jnp.float32) * 0.5
+               for kk in jax.random.split(key, 3))
+    w = jax.random.normal(jax.random.fold_in(key, 11), (b, h, n, d), jnp.float32)
+
+    def loss_scan(q, k, v):
+        return jnp.vdot(fastmax(q, k, v, mask=True, p=2, chunk=128), w)
+
+    def loss_pal(q, k, v):
+        return jnp.vdot(fastmax_pallas_trainable(q, k, v, 2, 8.0, 128, True), w)
+
+    gs = jax.grad(loss_scan, argnums=(0, 1, 2))(q, k, v)
+    gp = jax.grad(loss_pal, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gp, gs):
+        scale = float(jnp.max(jnp.abs(b_))) or 1.0
+        # relative-to-max error: catches systematic rewind drift while
+        # tolerating the f32 noise floor of 16 accumulation steps
+        assert float(jnp.max(jnp.abs(a - b_))) / scale < 5e-3
+
+
 def test_pallas_multi_head_state_isolation():
     """Each (batch, head) scans its own state — heads must not leak."""
     key = jax.random.PRNGKey(1)

@@ -82,6 +82,56 @@ def test_flash_trainable_grads_match_reference():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=3e-4, rtol=1e-3)
 
 
+def test_flash_fused_forward_matches_reference():
+    from fastmax_tpu.ops.flash_attention import flash_attention_fused
+
+    key = jax.random.PRNGKey(6)
+    b, h, t, d = 2, 2, 1024, 64  # t > 512: exercises the 512-block loops
+    q = jax.random.normal(key, (b, h, t, d), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (b, h, t, d), jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (b, h, t, d), jnp.float32)
+    ref = ref_attention(q, k, v)
+    out = flash_attention_fused(q, k, v, None, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_flash_fused_grads_match_reference():
+    """Single-pass whole-head backward (dq+dk+dv in one kernel) vs autodiff
+    through dense XLA softmax attention."""
+    from fastmax_tpu.ops.flash_attention import flash_attention_fused
+
+    key = jax.random.PRNGKey(7)
+    b, h, t, d = 1, 2, 1024, 64
+    q = jax.random.normal(key, (b, h, t, d), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (b, h, t, d), jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (b, h, t, d), jnp.float32)
+    w = jax.random.normal(jax.random.fold_in(key, 3), (b, h, t, d), jnp.float32)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(ref_attention(q, k, v) * w)
+
+    def loss_fused(q, k, v):
+        return jnp.sum(flash_attention_fused(q, k, v, None, True) * w)
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=3e-4, rtol=1e-3)
+
+
+def test_flash_fused_short_sequence_single_block():
+    from fastmax_tpu.ops.flash_attention import flash_attention_fused
+
+    key = jax.random.PRNGKey(8)
+    b, h, t, d = 1, 3, 256, 64  # t <= 512: whole-T single block
+    q = jax.random.normal(key, (b, h, t, d), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (b, h, t, d), jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (b, h, t, d), jnp.float32)
+    ref = ref_attention(q, k, v)
+    out = flash_attention_fused(q, k, v, None, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
 def test_flash_trainable_dispatch_pads_odd_lengths(monkeypatch):
     """attn dispatch with FASTMAX_TPU_TRAIN_ATTN=flash pads T to the block."""
     import fastmax_tpu.ops.attention as attn_mod
