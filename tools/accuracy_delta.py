@@ -73,8 +73,15 @@ def main() -> None:
     cfg = Config.from_name(args.model_name)
     cfg.vocab_size = 256
     cfg.padded_vocab_size = max(cfg.padded_vocab_size, 256)
-    restored = ocp.PyTreeCheckpointer().restore(str(Path(args.ckpt).absolute()))
-    params = restored["params"] if "params" in restored else restored
+    ckpt = Path(args.ckpt)
+    if (ckpt / "lit_config.json").exists() or (ckpt / "model").exists():
+        # deploy-format checkpoint (per-tensor npy, training/fit.py export)
+        from fastmax_tpu.utils.checkpoint import load_model_params
+
+        cfg, params = load_model_params(ckpt, cfg=cfg)
+    else:
+        restored = ocp.PyTreeCheckpointer().restore(str(ckpt.absolute()))
+        params = restored["params"] if "params" in restored else restored
     params = jax.tree.map(lambda a: np.asarray(a, np.float32), params)
 
     assets = Path(args.assets)
