@@ -28,6 +28,9 @@ def main() -> None:
     ap.add_argument("--prompt_len", type=int, default=64)
     ap.add_argument("--max_new_tokens", type=int, default=96)
     ap.add_argument("--n_slots", type=int, default=8)
+    ap.add_argument("--only", type=int, default=-1,
+                    help="run just config #N (process isolation: batcher "
+                         "HBM accumulates across configs in one process)")
     args = ap.parse_args()
 
     from fastmax_tpu.utils.profiling import enable_compile_cache
@@ -64,6 +67,8 @@ def main() -> None:
         {"decode_quantum": 1, "speculative_k": 4},
         {"decode_quantum": 1, "speculative_k": 4, "rep_prompts": True},
     ]
+    if args.only >= 0:
+        configs = configs[args.only : args.only + 1]
     for conf in configs:
         rep_prompts = conf.pop("rep_prompts", False)
         t0 = time.perf_counter()
