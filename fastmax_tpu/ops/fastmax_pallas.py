@@ -434,6 +434,10 @@ def _train_fwd_call(q, k, v, z: float, p: int, chunk: int, interpret: bool):
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            # (C, D^2) pairwise transients exceed the 16 MB scoped-VMEM
+            # default at long T (measured 18.9 MB at T=4096); v5e has
+            # physical headroom well beyond the default scope
+            vmem_limit_bytes=100 * 2**20,
         ),
         interpret=interpret,
     )(qf, kf, vf)
@@ -562,6 +566,7 @@ def fastmax_pallas(q, k, v, *, p: int = 2, normalize_term: float = 8.0,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 2**20,  # see _train_fwd_call note
         ),
         interpret=interpret,
     )

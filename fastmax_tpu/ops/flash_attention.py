@@ -464,7 +464,7 @@ def _fused_block(t: int) -> int:
 
 def _fused_eligible(t: int, d: int) -> bool:
     # 9 (T, D) f32-equivalent live tensors + transients; 16 MB VMEM
-    return t * d * 4 * 9 <= 10 * 2**20
+    return t * d * 4 * 9 <= 48 * 2**20
 
 
 def _whole_fwd_kernel(q_ref, k_ref, v_ref, out_ref, lse_ref,
@@ -555,6 +555,10 @@ def _whole_fwd(q, k, v, scale, interpret):
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            # whole-head residency at long T needs more than the 16 MB
+            # scoped-VMEM default (the pipeline double-buffers (T, D)
+            # blocks); v5e has physical headroom beyond the default scope
+            vmem_limit_bytes=100 * 2**20,
         ),
         interpret=interpret,
     )(q.reshape(b * h, t, d), k.reshape(b * h, t, d), v.reshape(b * h, t, d))
@@ -580,6 +584,10 @@ def _whole_bwd(q, k, v, do, lse, delta, scale, interpret):
         scratch_shapes=[pltpu.VMEM((t, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            # whole-head residency at long T needs more than the 16 MB
+            # scoped-VMEM default (the pipeline double-buffers (T, D)
+            # blocks); v5e has physical headroom beyond the default scope
+            vmem_limit_bytes=100 * 2**20,
         ),
         interpret=interpret,
     )(rs3(q), rs3(k), rs3(v), rs3(do), lse, delta)

@@ -68,7 +68,10 @@ def run(
 
     enable_compile_cache()
     cfg = Config.from_name(model_name)
-    cfg.block_size = min(cfg.block_size, seq_len)
+    # benchmark exactly seq_len positions: shrink the rope/mask caches for
+    # short runs AND extend them for beyond-native-context runs (min()
+    # alone capped the rope cache below T and broke T > native benches)
+    cfg.block_size = seq_len
     if attn_alg:
         cfg.attn_alg = attn_alg
     if remat in ("none", "False", "false"):
