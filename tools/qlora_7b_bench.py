@@ -34,6 +34,9 @@ def main() -> None:
     ap.add_argument("--seq_len", type=int, default=512)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--lora_r", type=int, default=16)
+    ap.add_argument("--base", choices=["int8", "bf16"], default="int8",
+                    help="frozen-base representation: int8 (QLoRA-style) or "
+                         "dense bf16 (the reference's 'no quantize' LoRA row)")
     args = ap.parse_args()
 
     from fastmax_tpu.utils.profiling import enable_compile_cache
@@ -57,8 +60,12 @@ def main() -> None:
 
     t0 = time.perf_counter()
     params = build_fake_7b_int8(cfg)
+    if args.base == "bf16":
+        from fastmax_tpu.ops.quant import dequantize_model
+
+        params = dequantize_model(params, jnp.bfloat16)
     jax.block_until_ready(params)
-    print(f"7B int8 base build: {time.perf_counter()-t0:.0f}s", file=sys.stderr)
+    print(f"7B {args.base} base build: {time.perf_counter()-t0:.0f}s", file=sys.stderr)
 
     lcfg = lora_mod.LoRAConfig(r=args.lora_r, alpha=2 * args.lora_r,
                                query=True, key=True, value=True)
@@ -116,7 +123,7 @@ def main() -> None:
     flops_seq = estimate_flops(cfg, 6_738_415_616, args.seq_len, training=True)
     peak = device_peak_flops(jax.devices()[0].device_kind)
     out = {
-        "metric": "qlora_7b_int8_train",
+        "metric": f"qlora_7b_{args.base}_train",
         "micro_batch": args.micro_batch,
         "seq_len": args.seq_len,
         "lora_r": args.lora_r,
