@@ -105,9 +105,11 @@ def _dense_param_count(params: dict) -> int:
     total = 0
     for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
         name = str(path[-1])
-        if "q4" in name:
+        if "q4r1" in name or "q4b" in name:
+            total += leaf.size * 8  # int32 words, 8 nibbles each
+        elif "q4" in name:
             total += leaf.size * 2
-        elif any(s in name for s in ("absmax", "code", "scale")):
+        elif any(s in name for s in ("absmax", "code", "scale", "n4", "k4", "u4", "v4")):
             continue
         else:
             total += leaf.size
@@ -131,7 +133,9 @@ class InferenceEngine:
     ):
         """weights_mode (for quantized params):
         "quantized"     keep packed weights, dequantize inside each matmul
-                        (fused Pallas or XLA path, autotuned);
+                        (fused Pallas or XLA path, autotuned) — bit-exact
+                        NF4 numerics, but the codebook lookup is VPU-bound
+                        (~150 G params/s; quant_pallas.py SOL analysis);
         "preload"       dequantize once to the activation dtype at init —
                         dense-bandwidth decode at a 4x HBM footprint,
                         bit-exact 4-bit numerics;
@@ -139,6 +143,14 @@ class InferenceEngine:
                         int8 at init; decode streams int8 straight into the
                         MXU (fused convert) — ~1.5-1.9x faster than the
                         bf16 HBM ceiling at +~0.4% weight error;
+        "preload_int4"  re-represent 4-bit linears as tiled linear-int4
+                        with rank-1 (k-block x column) scale envelopes;
+                        decode reads 0.5 byte/param through the Pallas
+                        nibble kernel at ~800 G params/s — the fastest and
+                        smallest serving mode (accuracy delta measured in
+                        docs/accuracy.md);
+        "preload_int4_block" same with exact per-64-block scales: ~620
+                        G params/s, tighter accuracy than rank-1;
         "auto"          int8 models stay native (that IS the fast path);
                         4-bit models preload to int8 when they fit in HBM.
         """
@@ -171,10 +183,11 @@ class InferenceEngine:
 
     @staticmethod
     def prepare_params(params: dict, mode: str) -> dict:
-        """Full inference weight preparation: resolve the serving
-        representation (see weights_mode) then apply serving-only layout
-        optimizations (fused gate+up)."""
-        return _fuse_mlp_gates(InferenceEngine._resolve_weights(params, mode))
+        """Full inference weight preparation: apply serving-only layout
+        optimizations (fused gate+up) first, then resolve the serving
+        representation (see weights_mode) — fuse-first so the int4/int8
+        re-representations cover the fused fc_12 kernel too."""
+        return InferenceEngine._resolve_weights(_fuse_mlp_gates(params), mode)
 
     @staticmethod
     def _resolve_weights(params: dict, mode: str) -> dict:
@@ -197,6 +210,10 @@ class InferenceEngine:
             return quant.dequantize_model(params, act_dtype)
         if mode == "preload_int8":
             return quant.requantize_int8_model(params)
+        if mode == "preload_int4":
+            return quant.requantize_int4_model(params, "rank1")
+        if mode == "preload_int4_block":
+            return quant.requantize_int4_model(params, "block")
         # auto: int8 weights already serve through the fused int8 matmul —
         # that IS the fast path, never widen them. 4-bit weights preload to
         # dense int8 when the int8 model fits in ~60% of device memory.

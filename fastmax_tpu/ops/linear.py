@@ -18,7 +18,7 @@ import jax.numpy as jnp
 def linear(p: dict, x: jnp.ndarray) -> jnp.ndarray:
     if "kernel" in p:
         y = jnp.einsum("...i,io->...o", x, p["kernel"].astype(x.dtype))
-    elif "q4" in p or "q8" in p:
+    elif "q4" in p or "q8" in p or "q4r1" in p or "q4b" in p:
         from . import quant
 
         y = quant.quantized_matmul(x, p)

@@ -155,10 +155,32 @@ def _absmax_of(p: dict, k_in: int, k_out: int) -> jnp.ndarray:
     return (flat[:n] + p["absmax_offset"]).reshape(-1, k_out)
 
 
+def _unpack_int4_tiled(pw_t: jnp.ndarray) -> jnp.ndarray:
+    """Tiled signed-nibble words (gk, gn, tk, 128) -> (k_pad, n_pad) f32."""
+    gk, gn, tk, _ = pw_t.shape
+    planes = [(pw_t << (28 - 4 * p)) >> 28 for p in range(8)]  # each (gk,gn,tk,128)
+    q = jnp.stack(planes, axis=3)  # (gk, gn, tk, 8, 128)
+    q = q.transpose(0, 2, 1, 3, 4).reshape(gk * tk, gn * 1024)
+    return q.astype(jnp.float32)
+
+
 def dequantize(p: dict, dtype=jnp.float32) -> jnp.ndarray:
     """Reconstruct the dense (in, out) kernel from a quantized param dict."""
     if "q8" in p:
         return (p["q8"].astype(jnp.float32) * p["scale8"][None, :]).astype(dtype)
+    if "q4r1" in p:
+        u, v = p["u4"], p["v4"]
+        q = _unpack_int4_tiled(p["q4r1"])[: u.shape[0], : v.shape[0]]
+        return (q * 0.125 * u[:, None] * v[None, :]).astype(dtype)
+    if "q4b" in p:
+        n_true = p["n4"].shape[0]
+        s_t = p["scale4"]  # (gk, gn, nb, 1024)
+        gk, gn, nb, _ = s_t.shape
+        q = _unpack_int4_tiled(p["q4b"])
+        k_true = p["k4"].shape[0] if "k4" in p else q.shape[0]
+        s = s_t.transpose(0, 2, 1, 3).reshape(gk * nb, gn * 1024)
+        w = q.reshape(-1, DEFAULT_BLOCK, q.shape[1]) * 0.125 * s[:, None, :]
+        return w.reshape(q.shape)[:k_true, :n_true].astype(dtype)
     packed = p["q4"]
     k_in = packed.shape[0] * 2
     k_out = packed.shape[1]
@@ -169,6 +191,61 @@ def dequantize(p: dict, dtype=jnp.float32) -> jnp.ndarray:
     absmax = _absmax_of(p, k_in, k_out)
     vals = vals.reshape(-1, DEFAULT_BLOCK, k_out) * absmax[:, None, :]
     return vals.reshape(k_in, k_out).astype(dtype)
+
+
+def rank1_envelope(absmax: np.ndarray, iters: int = 8):
+    """Minimal-ish rank-1 envelope u (x) v >= absmax (k-block x column).
+
+    Alternating max-ratio descent from u = row-max; the envelope property
+    guarantees no clipping when quantizing with step (u*v)/8, at the cost
+    of coarser steps where absmax is far from separable."""
+    u = np.maximum(absmax.max(axis=1), 1e-12).astype(np.float64)
+    v = None
+    for _ in range(iters):
+        v = np.max(absmax / u[:, None], axis=0)
+        v = np.maximum(v, 1e-12)
+        u = np.max(absmax / v[None, :], axis=1)
+        u = np.maximum(u, 1e-12)
+    return u.astype(np.float32), v.astype(np.float32)
+
+
+def quantize_int4_tiled(kernel: np.ndarray, scheme: str = "rank1",
+                        block_size: int = DEFAULT_BLOCK) -> dict:
+    """Quantize an (in, out) kernel to a tiled linear-int4 serving dict.
+
+    scheme "rank1": w ~ q/8 * u[k] * v[n]   -> {"q4r1", "u4", "v4"}
+    scheme "block": w ~ q/8 * absmax[b, n]  -> {"q4b", "scale4", "n4", "k4"}
+    Codes are signed [-8, 7]; dequant is linear, which is what lets the
+    Pallas kernel (ops/quant_pallas.py) run at ~800 G params/s where the
+    exact NF4 codebook caps at ~150 (VPU select wall — see that module's
+    speed-of-light analysis).
+    """
+    from .quant_pallas import pack_int4_tiled, tile_scales, INT4_TILE_N
+
+    w = np.asarray(kernel, np.float32)
+    k_in, k_out = w.shape
+    pad = (-k_in) % block_size
+    if pad:
+        w = np.pad(w, ((0, pad), (0, 0)))
+    wb = w.reshape(-1, block_size, k_out)
+    absmax = np.abs(wb).max(axis=1)
+    absmax = np.where(absmax == 0, 1e-12, absmax).astype(np.float32)
+    n_pad = k_out + (-k_out) % INT4_TILE_N
+    if scheme == "rank1":
+        ub, v = rank1_envelope(absmax)
+        step = (ub[:, None, None] * v[None, None, :]) / 8.0
+        q = np.clip(np.round(wb / step), -8, 7).astype(np.int8)
+        u_rows = np.repeat(ub, block_size)[:k_in]
+        pw = pack_int4_tiled(q.reshape(-1, k_out))
+        return {"q4r1": jnp.asarray(pw), "u4": jnp.asarray(u_rows),
+                "v4": jnp.asarray(v)}
+    q = np.clip(np.round(wb * 8.0 / absmax[:, None, :]), -8, 7).astype(np.int8)
+    pw = pack_int4_tiled(q.reshape(-1, k_out))
+    tk = pw.shape[2]
+    s_t = tile_scales(absmax, tk, n_pad)
+    return {"q4b": jnp.asarray(pw), "scale4": jnp.asarray(s_t),
+            "n4": jnp.zeros((k_out, 0), jnp.uint8),
+            "k4": jnp.zeros((k_in, 0), jnp.uint8)}
 
 
 def quantize_int8(kernel: np.ndarray) -> dict:
@@ -253,6 +330,14 @@ def quantized_matmul(x: jnp.ndarray, p: dict) -> jnp.ndarray:
     """x @ dequant(kernel), routed by the active quant backend."""
     if "q8" in p:
         return int8_matmul(x, p["q8"], p["scale8"])
+    if "q4r1" in p:
+        from .quant_pallas import int4_matmul_rank1
+
+        return int4_matmul_rank1(x, p, interpret=jax.default_backend() != "tpu")
+    if "q4b" in p:
+        from .quant_pallas import int4_matmul_block
+
+        return int4_matmul_block(x, p, interpret=jax.default_backend() != "tpu")
     if "q4" in p and _QUANT_BACKEND == "pallas" and jax.default_backend() == "tpu":
         from .quant_pallas import pallas_eligible, quantized_matmul_pallas
 
@@ -299,7 +384,55 @@ def dequantize_model(params: dict, dtype=jnp.bfloat16) -> dict:
 
 
 _RANK = {"q4": 2, "q8": 2, "absmax": 2, "code": 1, "absmax_q": 2,
-         "absmax_scale": 1, "absmax_offset": 0, "scale8": 1}
+         "absmax_scale": 1, "absmax_offset": 0, "scale8": 1,
+         "q4r1": 4, "u4": 1, "v4": 1, "q4b": 4, "scale4": 4, "n4": 2, "k4": 2}
+
+
+def requantize_int4_model(params: dict, scheme: str = "rank1") -> dict:
+    """Re-represent every quantized/4-bit linear as tiled linear-int4
+    ("int4 serving" of an NF4 checkpoint): decode reads 0.5 byte/param
+    through the fused Pallas nibble kernel — ~1.15x the int8 path's
+    params/s at HALF the weight footprint (docs/perf.md kernel table).
+    Accuracy cost vs the int8 re-rep is larger (int4 steps on top of NF4);
+    measured in docs/accuracy.md. Dense kernels stay dense."""
+
+    def requant_slice(sub: dict) -> dict:
+        return quantize_int4_tiled(np.asarray(dequantize(sub, jnp.float32)), scheme)
+
+    def walk(node):
+        if isinstance(node, dict):
+            if "q4r1" in node or "q4b" in node:
+                return node
+            if "q4" in node or "q8" in node:
+                lead_key = "q4" if "q4" in node else "q8"
+                arr = node[lead_key]
+                if arr.ndim == 2:
+                    out = requant_slice({k: v for k, v in node.items() if k != "bias"})
+                else:
+                    lead = arr.shape[:-2]
+                    stacks: dict = {}
+                    for idx in np.ndindex(*lead):
+                        sub = {
+                            k: v[idx] if hasattr(v, "ndim") and v.ndim > _RANK.get(k, 0) else v
+                            for k, v in node.items()
+                            if k != "bias"
+                        }
+                        s = requant_slice(sub)
+                        for key, val in s.items():
+                            stacks.setdefault(key, []).append(np.asarray(val))
+                    out = {
+                        key: jnp.asarray(
+                            np.stack(vals).reshape(lead + vals[0].shape)
+                        )
+                        for key, vals in stacks.items()
+                    }
+                if "bias" in node:
+                    out["bias"] = node["bias"]
+                return out
+            return {k: walk(v) for k, v in node.items()}
+        return node
+
+    return {k: walk(v) for k, v in params.items()}
 
 
 def requantize_int8_model(params: dict) -> dict:

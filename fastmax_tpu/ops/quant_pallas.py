@@ -1,25 +1,45 @@
-"""Pallas TPU kernel: fused 4-bit dequant + matmul.
+"""Pallas TPU kernels: fused 4-bit dequant + matmul (decode hot path).
 
 The performance heart of the framework (BASELINE.json: "every dequant+matmul
-kernel at speed-of-light per chip"). Decode is weight-bandwidth-bound: the
-XLA fallback (ops/quant.py quantized_matmul) materializes the dequantized
-f32 weight in HBM (4 bytes/param of traffic plus the packed read), while
-this kernel streams the PACKED bytes into VMEM (0.5 bytes/param) and
-dequantizes in registers right before the MXU dot — the same role as
-bitsandbytes' CUDA dequant kernels fused into the decode matmuls
-(reference generate/base.py:129-134 quantized path).
+kernel at speed-of-light per chip"; reference role: bitsandbytes' CUDA
+dequant kernels fused into decode matmuls, generate/base.py:129-134).
 
-Dequant strategy (no sublane shuffles):
-  the pack format stores row 2i in the high nibble and row 2i+1 in the low
-  nibble of byte i (ops/quant.py). Instead of re-interleaving inside the
-  kernel, the CALLER splits the activation x into even/odd input rows once
-  per step (a tiny (M, K) slice), and the kernel computes
+Decode is weight-bandwidth-bound, so the figure of merit is
+**dense-params-served per second** = k*n / wall-time. Measured on v5e
+(tools/nf4_lab_r04.py, committed in bench_results/nf4_lab_r04*.jsonl and
+docs/perf.md):
 
-     y = x_even @ deq(hi_nibbles) + x_odd @ deq(lo_nibbles)
+  bf16 dense (XLA)              ~365 G params/s   (2 B/param @ ~730 GB/s)
+  int8 fused (XLA)              ~710 G params/s   (1 B/param, convert-in-dot)
+  exact NF4 (this file)         ~150 G params/s   (VPU select-bound, see below)
+  int4 blockwise (this file)    ~620 G params/s   (0.56 B/param)
+  int4 rank-1  (this file)      ~800 G params/s   (0.50 B/param) <- fastest
 
-  where each nibble plane is a contiguous (K/2, N) matrix. Codebook lookup
-  is 16 vector selects (VPU); the per-64-row absmax broadcast becomes a
-  per-32-row broadcast on each plane (rows 2i and 2i+1 share a block).
+Speed-of-light analysis (v5e: ~819 GB/s HBM, VPU ~4e12 elementwise ops/s,
+Pallas streaming ceiling measured 609 GB/s on tiled layouts): at B bytes/
+param and V VPU-ops/weight the kernel serves min(BW/B, VPU/V) params/s.
+An exact NF4 codebook lookup costs >=15 selects+masks per weight (binary
+tree over 16 arbitrary float values), capping it at ~260 G params/s no
+matter how it is tiled — the TPU VPU has no per-element table-gather at
+rate, unlike the CUDA LOP3-based dequant the reference leans on. The fast
+TPU-native representations therefore make dequant LINEAR:
+
+  * int4 blockwise:  w = (q-8)/8 * absmax[k-block, n]  (5 VPU ops/weight)
+  * int4 rank-1:     w = (q-8)/8 * u[k] * v[n]         (3 VPU ops/weight)
+    u rides on the activation (x*u before the kernel), v on the output,
+    so the kernel body is shift-shift-convert-dot only.
+
+Both store signed two's-complement nibbles packed 8-per-int32 **along the
+output axis** (column c = tile*1024 + nibble*128 + lane), so unpacking is
+pure 32-bit lane arithmetic — no sub-word relayout (the uint8 high/low-
+nibble layout of the exact kernel costs a sublane widening that alone
+halves throughput). Blocks are pre-tiled into per-grid-step contiguous
+regions: flat layouts cap Pallas DMA at ~445 GB/s, tiled reaches ~609.
+
+The exact NF4/FP4 kernel below is kept for bit-faithful serving of 4-bit
+checkpoints (no re-quantization); ops/quant.py's serving re-representation
+helpers (requantize_int8_model / requantize_int4_model) produce the fast
+formats, with accuracy deltas measured in docs/accuracy.md.
 """
 
 from __future__ import annotations
@@ -28,22 +48,32 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .quant import DEFAULT_BLOCK
+
+# ----------------------------------------------------------- exact 4-bit path
 
 # tile sizes: K must cover whole quant blocks (64 rows -> 32 packed rows)
 TILE_K = 512  # input rows per step (256 packed rows, 8 quant blocks)
 TILE_N = 256  # output cols per step
 
 
-def _codebook_select(codes: jnp.ndarray, code: jnp.ndarray) -> jnp.ndarray:
-    """16-way select: codes (uint8/int32) -> float values. VPU-friendly."""
-    out = jnp.zeros(codes.shape, jnp.float32)
-    for c in range(16):
-        out = jnp.where(codes == c, code[c], out)
-    return out
+def _tree_select(codes: jnp.ndarray, code: jnp.ndarray) -> jnp.ndarray:
+    """Binary-tree 16-way lookup: 15 selects + 4 bit tests (the minimal
+    exact form; a flat 16-way where-chain costs ~2x)."""
+    b0 = (codes & 1) != 0
+    b1 = (codes & 2) != 0
+    b2 = (codes & 4) != 0
+    b3 = (codes & 8) != 0
+    shape = codes.shape
+    vals = [jnp.broadcast_to(code[i], shape) for i in range(16)]
+    l1 = [jnp.where(b0, vals[2 * i + 1], vals[2 * i]) for i in range(8)]
+    l2 = [jnp.where(b1, l1[2 * i + 1], l1[2 * i]) for i in range(4)]
+    l3 = [jnp.where(b2, l2[2 * i + 1], l2[2 * i]) for i in range(2)]
+    return jnp.where(b3, l3[1], l3[0])
 
 
 def _nf4_matmul_kernel(code_ref, xe_ref, xo_ref, packed_ref, absmax_ref, out_ref):
@@ -55,23 +85,22 @@ def _nf4_matmul_kernel(code_ref, xe_ref, xo_ref, packed_ref, absmax_ref, out_ref
 
     # upcast before bit ops: Mosaic has no sub-word shift for uint8
     packed = packed_ref[:].astype(jnp.int32)  # (TILE_K//2, TILE_N)
-    hi = packed >> 4
-    lo = packed & 0xF
     code = code_ref[0]  # (16,)
-    w_hi = _codebook_select(hi, code)  # rows 0,2,4,... of the tile
-    w_lo = _codebook_select(lo, code)  # rows 1,3,5,...
+    w_hi = _tree_select(packed >> 4, code)  # rows 0,2,4,... of the tile
+    w_lo = _tree_select(packed & 0xF, code)  # rows 1,3,5,...
 
-    # rows 2i and 2i+1 live in quant block (2i)//64 = i//32: broadcast each
-    # absmax row over 32 plane rows
+    # per-quant-block partial sums: dot the UNSCALED code values, then
+    # scale each 64-row block's (m, TILE_N) partial by its absmax — the
+    # scale costs O(m*TILE_N) per block instead of one multiply per weight
     absmax = absmax_ref[:]  # (TILE_K//64, TILE_N)
     nb = absmax.shape[0]
-    plane = TILE_K // 2
-    scale = jnp.repeat(absmax, plane // nb, axis=0)  # (TILE_K//2, TILE_N)
-    w_hi = w_hi * scale
-    w_lo = w_lo * scale
-
-    acc = jnp.dot(xe_ref[:], w_hi, preferred_element_type=jnp.float32)
-    acc = acc + jnp.dot(xo_ref[:], w_lo, preferred_element_type=jnp.float32)
+    rows = (TILE_K // 2) // nb  # plane rows per quant block
+    acc = jnp.zeros_like(out_ref)
+    for b in range(nb):
+        sl = slice(b * rows, (b + 1) * rows)
+        pb = jnp.dot(xe_ref[:, sl], w_hi[sl], preferred_element_type=jnp.float32)
+        pb += jnp.dot(xo_ref[:, sl], w_lo[sl], preferred_element_type=jnp.float32)
+        acc += pb * absmax[b][None, :]
     out_ref[:] += acc
 
 
@@ -80,8 +109,9 @@ def nf4_matmul(x: jnp.ndarray, packed: jnp.ndarray, absmax: jnp.ndarray,
                code: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     """x (M, K) @ 4bit-packed (K/2, N) with (K/64, N) absmax -> (M, N) f32.
 
-    Requires K % TILE_K == 0 and N % TILE_N == 0 (the caller falls back to
-    the XLA path otherwise).
+    Bit-faithful to the NF4/FP4 codebook (exact dequant values feed the
+    dot). Requires K % TILE_K == 0 and N % TILE_N == 0 (the caller falls
+    back to the XLA path otherwise).
     """
     m, k = x.shape
     n = packed.shape[1]
@@ -130,3 +160,163 @@ def quantized_matmul_pallas(x: jnp.ndarray, p: dict, interpret: bool = False) ->
     absmax = p["absmax"] if "absmax" in p else _absmax_of(p, k_in, k_out)
     y = nf4_matmul(x2, packed, absmax, p["code"], interpret=interpret)
     return y.reshape(lead + (k_out,)).astype(x.dtype)
+
+
+# ------------------------------------------------------- tiled int4 fast path
+
+INT4_TILE_N = 1024  # 8 nibble planes x 128 lanes
+INT4_PAD_K = 512    # k padded so every scale tile has >=8 sublanes
+_INT4_MAX_M = 128   # larger m (prefill) routes to the XLA dequant path
+
+
+def pack_int4_tiled(codes: np.ndarray, tile_k: int | None = None):
+    """Pack signed int4 codes (k, n), values in [-8, 7], into the tiled
+    kernel layout (gk, gn, tk, 128) int32.
+
+    Within each 1024-column tile, the int32 word at (row r, lane l) holds
+    the code of column tile*1024 + p*128 + l in nibble p (two's-complement),
+    so the kernel extracts plane p with (w << (28-4p)) >> 28 — two native
+    32-bit lane ops, no mask, no subtract, no sub-word relayout.
+    k is zero-padded to a multiple of INT4_PAD_K, n to INT4_TILE_N; each
+    (tk, 128) grid block is contiguous in HBM (flat layouts cap DMA ~30%
+    below the ~609 GB/s tiled ceiling).
+    """
+    k, n = codes.shape
+    k_pad = k + (-k) % INT4_PAD_K
+    n_pad = n + (-n) % INT4_TILE_N
+    full = np.zeros((k_pad, n_pad), np.int32)
+    full[:k, :n] = codes.astype(np.int32)
+    tk = tile_k or k_pad
+    assert k_pad % tk == 0
+    gk, gn = k_pad // tk, n_pad // INT4_TILE_N
+    q = (full & 0xF).astype(np.uint32).reshape(k_pad, gn, 8, 128)
+    words = np.zeros((k_pad, gn, 128), np.uint32)
+    for p in range(8):
+        words |= q[:, :, p, :] << (4 * p)
+    pw = words.view(np.int32).reshape(gk, tk, gn, 128).transpose(0, 2, 1, 3)
+    return np.ascontiguousarray(pw)
+
+
+def tile_scales(absmax: np.ndarray, tk: int, n_pad: int) -> np.ndarray:
+    """(k/64, n) f32 -> (gk, gn, tk/64, 1024), zero-padded, column layout
+    matching pack_int4_tiled (which is identity within a tile)."""
+    nb, n = absmax.shape
+    k_pad_blocks = nb + (-nb) % (INT4_PAD_K // DEFAULT_BLOCK)
+    full = np.zeros((k_pad_blocks, n_pad), np.float32)
+    full[:nb, :n] = absmax
+    nbt = tk // DEFAULT_BLOCK
+    gk = k_pad_blocks // nbt
+    gn = n_pad // INT4_TILE_N
+    return np.ascontiguousarray(
+        full.reshape(gk, nbt, gn, INT4_TILE_N).transpose(0, 2, 1, 3)
+    )
+
+
+def _int4_kernel(nb, tk, lanes, blockwise):
+    def kernel(*refs):
+        if blockwise:
+            x_ref, pw_ref, s_ref, out_ref = refs
+        else:
+            x_ref, pw_ref, out_ref = refs
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        x = x_ref[:].astype(jnp.float32)
+        pw = pw_ref[0, 0]
+        for p in range(8):
+            qp = (pw << (28 - 4 * p)) >> 28  # signed nibble in [-8, 7]
+            w = qp.astype(jnp.float32)
+            if blockwise:
+                sp = s_ref[0, 0][:, p * lanes:(p + 1) * lanes]
+                scale = jnp.broadcast_to(
+                    sp[:, None, :] * 0.125, (nb, DEFAULT_BLOCK, lanes)
+                ).reshape(tk, lanes)
+                w = w * scale
+            out_ref[:, p * lanes:(p + 1) * lanes] += jnp.dot(
+                x, w, preferred_element_type=jnp.float32)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def int4_matmul_tiled(x, pw_t, s_t=None, interpret: bool = False):
+    """x (M, k_pad) @ tiled-int4 weights -> (M, n_pad) f32.
+
+    s_t None: raw signed-nibble dot (rank-1 scaling applied by the caller).
+    s_t (gk, gn, tk/64, 1024): blockwise absmax, applied in-kernel.
+    """
+    m, k_pad = x.shape
+    gk, gn, tk, _ = pw_t.shape
+    assert k_pad == gk * tk, (k_pad, pw_t.shape)
+    n_pad = gn * INT4_TILE_N
+    lanes = INT4_TILE_N // 8
+    nb = tk // DEFAULT_BLOCK
+    blockwise = s_t is not None
+    in_specs = [
+        pl.BlockSpec((m, tk), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, tk, 128), lambda i, j: (j, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [x.astype(jnp.float32), pw_t]
+    if blockwise:
+        in_specs.append(
+            pl.BlockSpec((1, 1, nb, INT4_TILE_N), lambda i, j: (j, i, 0, 0),
+                         memory_space=pltpu.VMEM))
+        args.append(s_t)
+    return pl.pallas_call(
+        _int4_kernel(nb, tk, lanes, blockwise),
+        grid=(gn, gk),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((m, INT4_TILE_N), lambda i, j: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n_pad), jnp.float32),
+        interpret=interpret,
+    )(*args)
+
+
+def _pad_cols(x2, k_pad):
+    k = x2.shape[1]
+    if k == k_pad:
+        return x2
+    return jnp.pad(x2, ((0, 0), (0, k_pad - k)))
+
+
+def int4_matmul_rank1(x, p: dict, interpret: bool = False) -> jnp.ndarray:
+    """Serving matmul for the rank-1 int4 format
+    {"q4r1": (gk,gn,tk,128) i32, "u4": (k,) f32, "v4": (n,) f32}:
+    y = ((x * u) @ Q) * (v/8). True k/n come from u4/v4 shapes."""
+    pw = p["q4r1"]
+    u, v = p["u4"], p["v4"]
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, u.shape[0])
+    k_pad = pw.shape[0] * pw.shape[2]
+    if x2.shape[0] > _INT4_MAX_M:
+        from .quant import dequantize
+
+        return jnp.einsum("mk,kn->mn", x2, dequantize(p, x.dtype)).reshape(
+            lead + (v.shape[0],)).astype(x.dtype)
+    xs = _pad_cols(x2.astype(jnp.float32) * u[None, :], k_pad)
+    y = int4_matmul_tiled(xs, pw, interpret=interpret)
+    y = y[:, : v.shape[0]] * (v[None, :] * 0.125)
+    return y.reshape(lead + (v.shape[0],)).astype(x.dtype)
+
+
+def int4_matmul_block(x, p: dict, interpret: bool = False) -> jnp.ndarray:
+    """Serving matmul for the blockwise int4 format
+    {"q4b": pw_t, "scale4": s_t, "n4": (n, 0) u8 marker}."""
+    pw = p["q4b"]
+    n_true = p["n4"].shape[0]
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    k_pad = pw.shape[0] * pw.shape[2]
+    if x2.shape[0] > _INT4_MAX_M:
+        from .quant import dequantize
+
+        return jnp.einsum("mk,kn->mn", x2, dequantize(p, x.dtype)).reshape(
+            lead + (n_true,)).astype(x.dtype)
+    xs = _pad_cols(x2.astype(jnp.float32), k_pad)
+    y = int4_matmul_tiled(xs, pw, p["scale4"], interpret=interpret)
+    return y[:, :n_true].reshape(lead + (n_true,)).astype(x.dtype)
