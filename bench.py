@@ -146,6 +146,53 @@ def build_fake_7b_int8(cfg, seed: int = 0):
     return {k: build(v, (k,)) for k, v in shapes.items()}
 
 
+def build_fake_7b_int4(cfg, seed: int = 0):
+    """Random 7B directly in the NF4->tiled-linear-int4 (rank-1 scale)
+    serving representation, built on the accelerator: every quantized
+    linear becomes {q4r1 int32 words, u4, v4} with the exact pytree
+    structure prepare_params(weights_mode="preload_int4") would produce
+    (gate+up pre-fused to fc_12; wte/lm_head dense, bnb skip rules).
+    Per-token HBM traffic and compute match a real requantized checkpoint:
+    0.5 byte/param streamed through the Pallas nibble kernel."""
+    from fastmax_tpu.models import gpt
+
+    shapes = jax.eval_shape(
+        lambda: gpt.init_params(cfg, jax.random.PRNGKey(seed), jnp.bfloat16)
+    )
+    counter = [0]
+
+    def leaf_key():
+        counter[0] += 1
+        return jax.random.PRNGKey(seed * 100003 + counter[0])
+
+    def q4r1(kshape):
+        L, k, n = kshape
+        k_pad = k + (-k) % 512
+        n_pad = n + (-n) % 1024
+        return {
+            "q4r1": jax.random.randint(
+                leaf_key(), (L, 1, n_pad // 1024, k_pad, 128),
+                -2**31 + 1, 2**31 - 1, jnp.int32),
+            "u4": jnp.full((L, k), 0.02, jnp.float32),
+            "v4": jnp.ones((L, n), jnp.float32),
+        }
+
+    def build(node, path):
+        if isinstance(node, dict):
+            if "fc_1" in node and "fc_2" in node and "experts" not in path:
+                # serving layout: fused gate+up (engine._fuse_mlp_gates)
+                L, k, n = node["fc_1"]["kernel"].shape
+                out = {"fc_12": q4r1((L, k, 2 * n))}
+                out["proj"] = q4r1(node["proj"]["kernel"].shape)
+                return out
+            if "kernel" in node and path[0] not in ("lm_head", "wte") and "experts" not in path:
+                return q4r1(node["kernel"].shape)
+            return {k: build(v, path + (k,)) for k, v in node.items()}
+        return (jax.random.normal(leaf_key(), node.shape, jnp.float32) * 0.02).astype(node.dtype)
+
+    return {k: build(v, (k,)) for k, v in shapes.items()}
+
+
 def main() -> None:
     from fastmax_tpu.models.config import Config
     from fastmax_tpu.inference.engine import InferenceEngine
@@ -153,13 +200,23 @@ def main() -> None:
     cfg = Config.from_name("Llama-2-7b-hf")
     cfg.block_size = 1024
 
+    weights = os.environ.get("BENCH_WEIGHTS", "int4")
     t0 = time.perf_counter()
-    params = build_fake_7b_int8(cfg)
+    if weights == "int4":
+        params = build_fake_7b_int4(cfg)
+        mode = "quantized"  # already in final serving representation
+    else:
+        params = build_fake_7b_int8(cfg)
+        mode = "auto"
     jax.block_until_ready(params)
-    print(f"model build (on-device): {time.perf_counter()-t0:.0f}s", file=sys.stderr)
+    print(f"model build (on-device, {weights}): {time.perf_counter()-t0:.0f}s",
+          file=sys.stderr)
 
+    # int8 KV cache: per-token-per-group symmetric, exactness-tested in
+    # tests/test_kv_quant.py; halves attention-cache HBM traffic (the
+    # second-largest reader after the weights)
     engine = InferenceEngine(cfg, params, max_seq_length=1024, batch_size=1,
-                             weights_mode="auto")
+                             weights_mode=mode, cache_dtype=jnp.int8)
     prompt = jnp.asarray(np.random.default_rng(0).integers(1, 32000, (64,)), jnp.int32)
 
     # warmup: compiles prefill + decode loop. max_new is traced (buffer is
