@@ -49,7 +49,10 @@ def _seed_cache() -> None:
     (bench_seed_cache/, curated by tools/curate_seed_cache.py): the decode
     loop + prefill executables for THIS benchmark are ~6 MB, and a cold
     compile of them through the tunnel costs minutes (r02: 835 s cold vs
-    163 s warm). Stale keys are harmless — they just miss."""
+    163 s warm). Stale keys are harmless — they just miss. NOTE: the seed
+    entries are keyed by XLA/libtpu version and device kind; after any
+    JAX or libtpu upgrade they silently stop matching and must be
+    re-curated with tools/curate_seed_cache.py (advisor r03)."""
     seed = os.path.join(_repo, "bench_seed_cache")
     dst = os.path.join(_repo, ".jax_cache")
     if not os.path.isdir(seed):

@@ -156,24 +156,27 @@ class FastmaxLM:
         return self.loglikelihood_tokens_batch(token_reqs)
 
     def loglikelihood_rolling_tokens(self, toks: List[int]) -> float:
-        """Rolling loglikelihood of a full token stream: every token is
-        scored exactly once, in sliding windows of ``max_seq_length`` —
-        after the first window each scored span keeps >= max_seq_length/2
-        tokens of preceding context (the lm-eval rolling-window contract;
-        ref eval/lm_eval_harness.py inherits it from the package). Replaces
-        the r02 behavior that truncated long documents to their tail."""
+        """Rolling loglikelihood of a full token stream under lm-eval's
+        exact windowing contract (``get_rolling_token_windows(context_len=1)``
+        + ``make_disjoint_window``, which the reference inherits via BaseLM,
+        ref eval/lm_eval_harness.py): every token is scored exactly once in
+        DISJOINT windows — the first window is conditioned on the EOT prefix
+        token only, and every later window on a single preceding token.
+        This makes rolling metrics (wikitext-style perplexity, bits/byte)
+        directly comparable to published lm-eval numbers; a sliding-window
+        variant that keeps extra history would systematically overstate
+        loglikelihood."""
         if not toks:
             return 0.0
-        max_len = self.max_seq_length
-        stride = max(max_len // 2, 1)
+        # 1 context token + pred_len scored tokens fill the model buffer
+        pred_len = max(self.max_seq_length - 1, 1)
         reqs: List[Tuple[List[int], List[int]]] = []
-        first = min(len(toks), max_len - 1)
+        first = min(len(toks), pred_len)
         reqs.append(([self.eot_token_id], list(toks[:first])))
         pos = first
         while pos < len(toks):
-            n_new = min(stride, len(toks) - pos)
-            ctx = list(toks[max(0, pos - (max_len - n_new)) : pos])
-            reqs.append((ctx, list(toks[pos : pos + n_new])))
+            n_new = min(pred_len, len(toks) - pos)
+            reqs.append(([int(toks[pos - 1])], list(toks[pos : pos + n_new])))
             pos += n_new
         results = self.loglikelihood_tokens_batch(reqs)
         return float(sum(ll for ll, _ in results))

@@ -100,14 +100,20 @@ def _probe_train_kernel(b: int, h: int, t: int, d: int) -> str:
     )
 
     def timed(fn) -> float:
-        g = jax.jit(jax.grad(lambda q: jnp.sum(fn(q, k, v).astype(jnp.float32))))
+        # grad w.r.t. ALL of (q, k, v): grading only q would let XLA
+        # dead-code-eliminate parts of a kernel's backward (blockwise's dk/dv
+        # contractions) while a custom-VJP kernel always computes all three —
+        # biasing the probe (advisor r03)
+        g = jax.jit(
+            jax.grad(lambda q, k, v: jnp.sum(fn(q, k, v).astype(jnp.float32)), (0, 1, 2))
+        )
         import numpy as np
 
-        np.asarray(g(q)[0, 0, 0, :1])  # compile + warm (fetch: tunnel acks early)
+        np.asarray(g(q, k, v)[0][0, 0, 0, :1])  # compile + warm (tunnel acks early)
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            np.asarray(g(q)[0, 0, 0, :1])
+            np.asarray(g(q, k, v)[0][0, 0, 0, :1])
             best = min(best, time.perf_counter() - t0)
         return best
 
@@ -117,7 +123,12 @@ def _probe_train_kernel(b: int, h: int, t: int, d: int) -> str:
     winner = "flash2" if t_flash < t_block else "blockwise"
     _PROBE_CACHE[key] = disk[key] = winner
     try:
-        path.write_text(json.dumps(disk, indent=1))
+        # atomic publish: concurrent processes each write a private temp file
+        # and race only on the final rename (advisor r03 — a plain write_text
+        # could interleave partial JSON between processes)
+        tmp = path.with_name(f".kernel_probe.{os.getpid()}.tmp")
+        tmp.write_text(json.dumps(disk, indent=1))
+        os.replace(tmp, path)
     except OSError:
         pass
     return winner

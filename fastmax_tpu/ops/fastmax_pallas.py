@@ -46,6 +46,8 @@ from __future__ import annotations
 
 import functools
 import math
+import os
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -379,15 +381,35 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, g_ref,
 
 
 
+_warned_pair_bf16 = False
+
+
 def _pair_dtype(dtype, d: int, interpret: bool):
     """Precision of the pairwise-expansion operands. On the real chip the
     p=2 backward's (C, D*D) transients at d=64 exceed the 16 MB VMEM scope
     in f32 (measured: 22.6 MB scoped-vmem compile OOM, r03) AND run the
     MXU at half rate — so d >= 64 forces bf16 operands there (accumulation
     is always f32; chip grad-parity holds at the tpu_kernel_check
-    tolerances). Interpret mode (CPU tests) follows the input dtype so the
-    parity suites see exact f32 math."""
+    tolerances). f32 callers at d >= 64 get a one-time warning about the
+    silent operand downgrade (advisor r03). Interpret mode (CPU tests)
+    follows the input dtype so the parity suites see exact f32 math —
+    except under FASTMAX_TPU_FORCE_PAIR_BF16=1, which forces the bf16
+    operand path so CPU tests can exercise the precision actually used on
+    chip (tests/test_fastmax_pallas.py)."""
+    if os.environ.get("FASTMAX_TPU_FORCE_PAIR_BF16"):
+        return jnp.bfloat16
     if not interpret and d >= 64:
+        if dtype != jnp.bfloat16:
+            global _warned_pair_bf16
+            if not _warned_pair_bf16:
+                _warned_pair_bf16 = True
+                warnings.warn(
+                    "fastmax p=2 Pallas kernel: float32 inputs at head_size"
+                    f" >= 64 (d={d}) use bfloat16 pairwise-matmul operands on"
+                    " TPU (f32 accumulation) — VMEM scope forces this;"
+                    " expect bf16-level operand precision.",
+                    stacklevel=3,
+                )
         return jnp.bfloat16
     return jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
 

@@ -463,8 +463,15 @@ def _fused_block(t: int) -> int:
 
 
 def _fused_eligible(t: int, d: int) -> bool:
-    # 9 (T, D) f32-equivalent live tensors + transients; 16 MB VMEM
-    return t * d * 4 * 9 <= 48 * 2**20
+    # Backward keeps ~9 (T, D) f32-equivalent tensors live (q/k/v/o/do,
+    # dq/dk/dv accumulators, recompute operands) plus the (T, D) f32
+    # delta/lse scratch, per-block (blk, blk) f32 score transients, and
+    # grid double-buffering of the inputs. Budget ~10 whole-head tensors
+    # + an 8 MB transient allowance against the kernels' 100 MB
+    # vmem_limit_bytes with headroom (advisor r03: the old "9 tensors vs
+    # 48 MB" bound ignored scratch/transients and could pass shapes that
+    # fail to compile near the limit).
+    return t * d * 4 * 10 + 8 * 2**20 <= 72 * 2**20
 
 
 def _whole_fwd_kernel(q_ref, k_ref, v_ref, out_ref, lse_ref,

@@ -141,3 +141,60 @@ def test_pallas_multi_head_state_isolation():
     # head 1 alone must equal head 1 of the batched run
     solo = fastmax_pallas(q[:, 1:2], k[:, 1:2], v[:, 1:2], p=1, chunk=64, interpret=True)
     np.testing.assert_allclose(np.asarray(full[:, 1:2]), np.asarray(solo), atol=1e-4)
+
+
+def test_pallas_bf16_pair_operand_path_parity(monkeypatch):
+    """Exercise the bf16 pairwise-operand precision the real chip uses at
+    d >= 64 (advisor r03: interpret-mode tests previously only ever saw
+    exact f32 pair math). FASTMAX_TPU_FORCE_PAIR_BF16 forces the chip's
+    operand dtype through the interpret kernels; parity vs the O(N^2)
+    reference holds at bf16-appropriate tolerances, fwd and grad."""
+    monkeypatch.setenv("FASTMAX_TPU_FORCE_PAIR_BF16", "1")
+    key = jax.random.PRNGKey(11)
+    b, h, n, d = 1, 2, 256, 64
+    q, k, v = (jax.random.normal(kk, (b, h, n, d), jnp.float32) * 0.5
+               for kk in jax.random.split(key, 3))
+    ref = polynomial_attention_reference(q, k, v, p=2, mask=True)
+    out = fastmax_pallas_trainable(q, k, v, 2, 8.0, 128, True)
+    scale = float(jnp.max(jnp.abs(ref))) or 1.0
+    assert float(jnp.max(jnp.abs(out - ref))) / scale < 4e-2
+
+    w = jax.random.normal(jax.random.fold_in(key, 7), (b, h, n, d), jnp.float32)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(polynomial_attention_reference(q, k, v, p=2, mask=True) * w)
+
+    def loss_pal(q, k, v):
+        return jnp.sum(fastmax_pallas_trainable(q, k, v, 2, 8.0, 128, True) * w)
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    gp = jax.grad(loss_pal, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gp, gr):
+        scale = float(jnp.max(jnp.abs(b_))) or 1.0
+        assert float(jnp.max(jnp.abs(a - b_))) / scale < 6e-2
+
+
+def test_pallas_f32_d64_warns_once_on_tpu_path():
+    """The silent f32 -> bf16 operand downgrade at d >= 64 must warn."""
+    import warnings as _w
+
+    from fastmax_tpu.ops import fastmax_pallas as fmp
+
+    fmp._warned_pair_bf16 = False
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        dt = fmp._pair_dtype(jnp.float32, 64, interpret=False)
+        assert dt == jnp.bfloat16
+        assert any("bfloat16 pairwise" in str(r.message) for r in rec)
+    # second call: warned flag set, no duplicate
+    with _w.catch_warnings(record=True) as rec2:
+        _w.simplefilter("always")
+        fmp._pair_dtype(jnp.float32, 64, interpret=False)
+        assert not rec2
+    # bf16 inputs never warn; interpret mode keeps f32
+    fmp._warned_pair_bf16 = False
+    with _w.catch_warnings(record=True) as rec3:
+        _w.simplefilter("always")
+        assert fmp._pair_dtype(jnp.bfloat16, 64, interpret=False) == jnp.bfloat16
+        assert fmp._pair_dtype(jnp.float32, 64, interpret=True) == jnp.float32
+        assert not rec3

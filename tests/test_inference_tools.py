@@ -237,9 +237,16 @@ def test_rolling_loglikelihood_covers_every_token(checkpoint_dir):
         assert len(ctx) >= 1
         scored.extend(cont)
     assert scored == toks  # full coverage, in order, no token twice
-    # all windows after the first keep at least half a context of history
-    for ctx, cont in seen_requests[1:]:
-        assert len(ctx) >= lm.max_seq_length // 2
+    # lm-eval contract: disjoint windows, exactly ONE context token each —
+    # the first window conditions on the EOT prefix, later windows on the
+    # single preceding stream token (context_len=1 + make_disjoint_window)
+    assert seen_requests[0][0] == [lm.eot_token_id]
+    pos = 0
+    for ctx, cont in seen_requests:
+        assert len(ctx) == 1
+        if pos > 0:
+            assert ctx == [toks[pos - 1]]
+        pos += len(cont)
 
 
 def test_run_lm_eval_against_stubbed_package(checkpoint_dir, monkeypatch):
