@@ -75,7 +75,7 @@ def run_load(
     gen_tokens = sum(len(r.generated) for r in reqs)
     lat = np.asarray([done_t[r.request_id] - submit_t[r.request_id] for r in reqs])
     ttft = np.asarray([first_t[r.request_id] - submit_t[r.request_id] for r in reqs])
-    return {
+    out = {
         "n_requests": n,
         "generated_tokens": int(gen_tokens),
         "aggregate_tok_s": round(gen_tokens / t_total, 2),
@@ -85,6 +85,11 @@ def run_load(
         "latency_p50_s": round(float(np.percentile(lat, 50)), 3),
         "latency_p95_s": round(float(np.percentile(lat, 95)), 3),
     }
+    drafted = getattr(batcher, "spec_drafted", 0)
+    if drafted:
+        # honesty term for speculative rows: how often drafts actually land
+        out["spec_acceptance"] = round(batcher.spec_accepted / drafted, 3)
+    return out
 
 
 def run(

@@ -117,6 +117,12 @@ class ContinuousBatcher:
         # a speculative verify writes k+1 cache rows past each slot's
         # position; a quantum writes Q rows
         self._headroom = max(self.speculative_k + 1, self.decode_quantum)
+        # draft-acceptance telemetry: accepted draft tokens / drafted
+        # tokens across the batcher's lifetime (0 when not speculating).
+        # Serving results quote this beside tok/s so speculation numbers
+        # carry their honesty term (verdict r03 weak #6).
+        self.spec_accepted = 0
+        self.spec_drafted = 0
         self.prefill_chunk = int(prefill_chunk)
         if self.prefill_chunk and self._headroom > self.prefill_chunk:
             raise ValueError(
@@ -699,6 +705,8 @@ class ContinuousBatcher:
         for i, req in enumerate(self.slots):
             if i not in active:
                 continue
+            self.spec_accepted += min(int(a[i]), k)
+            self.spec_drafted += k
             toks = cand[i, : int(a[i]) + 1].tolist()
             # budget, then eos truncation (keep the eos itself)
             toks = toks[: req.max_new_tokens - len(req.generated)]

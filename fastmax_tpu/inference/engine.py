@@ -177,7 +177,7 @@ class InferenceEngine:
         # recompile — only temperature-mode/top_k changes do.
         self._decode_loop = jax.jit(
             self._decode_loop_impl,
-            static_argnames=("temperature", "top_k"),
+            static_argnames=("greedy", "top_k"),
             donate_argnums=(1,),
         )
 
@@ -279,9 +279,15 @@ class InferenceEngine:
 
     def _decode_loop_impl(
         self, params, cache, first_token, prompt_len, key, max_new,
-        *, temperature: float, top_k, eos_id,
+        temperature, *, greedy: bool, top_k, eos_id,
     ):
-        """Decode until eos or the token budget, entirely on device."""
+        """Decode until eos or the token budget, entirely on device.
+
+        ``temperature`` is a TRACED scalar — only the greedy/sampled MODE
+        (``greedy``) and ``top_k`` are static, so a server sweeping
+        temperatures reuses one executable (asserted by
+        tests/test_recompile_guard.py; the r03 version made temperature
+        itself static, recompiling per distinct value)."""
         b = first_token.shape[0]
         tokens = jnp.zeros((b, self.max_seq_length), jnp.int32)
         tokens = tokens.at[:, 0].set(first_token)
@@ -299,7 +305,20 @@ class InferenceEngine:
             cur = jax.lax.dynamic_slice(tokens, (0, i), (b, 1))
             logits, cache = self._model_step(params, cur, cache, pos)
             key, sub = jax.random.split(key)
-            nxt = sample(logits[:, -1, :], sub, temperature, top_k)
+            if greedy:
+                nxt = jnp.argmax(
+                    logits[:, -1, :].astype(jnp.float32), axis=-1
+                ).astype(jnp.int32)
+            else:
+                l = logits[:, -1, :].astype(jnp.float32)
+                if top_k is not None:
+                    kth = jnp.sort(l, axis=-1)[..., -top_k][..., None]
+                    l = jnp.where(l < kth, -jnp.inf, l)
+                l = l / jnp.maximum(temperature, 1e-6)
+                gumbel = -jnp.log(
+                    -jnp.log(jax.random.uniform(sub, l.shape) + 1e-20) + 1e-20
+                )
+                nxt = jnp.argmax(l + gumbel, axis=-1).astype(jnp.int32)
             tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, i + 1))
             if eos_id is not None:
                 done = done | (nxt == eos_id)
@@ -347,7 +366,8 @@ class InferenceEngine:
         max_new = max_returned_tokens - t
         gen_tokens, n, _ = self._decode_loop(
             self.params, cache, first, t, key, max_new,
-            temperature=temperature, top_k=top_k, eos_id=eos_id,
+            jnp.float32(temperature), greedy=temperature <= 0.0,
+            top_k=top_k, eos_id=eos_id,
         )
         n = int(n)
         out = jnp.concatenate([prompt, gen_tokens[:, :n]], axis=1)

@@ -50,11 +50,12 @@ BLOCKWISE_BLOCK = int(os.environ.get("FASTMAX_TPU_BLOCKWISE_BLOCK", 0))
 # "flash" (Pallas split dq/dkv kernels), "flash2" (Pallas whole-head fused
 # single-pass kernels), or "auto" (probe: time blockwise vs flash2 at the
 # actual shape on first use, cache the winner — never a guess). Default:
-# flash2 — measured fastest in r03 interleaved same-window train-step
-# compares on this chip (TinyLlama-1.1B, warm steady state: 49-51% MFU vs
-# blockwise 43-44% at bs16 T=1024; 50.1±0.4% vs 37.6% at bs8 T=2048 —
-# docs/perf.md; whole-head VMEM residency, one DMA set per head, fused
-# single-pass dq+dk+dv, each block pair's scores recomputed once).
+# flash2 — r04 evidence-grade record (10 interleaved rounds per shape,
+# bench_results/mfu_ab_bs{16x1024,8x2048}_r04.jsonl): flash2 won EVERY
+# same-round pair at both shapes, median MFU 49.4% vs blockwise 42.6% at
+# bs16 T=1024 and 48.5% vs 35.0% at bs8 T=2048 (docs/perf.md; whole-head
+# VMEM residency, one DMA set per head, fused single-pass dq+dk+dv, each
+# block pair's scores recomputed once).
 # Shapes outside the flash2 VMEM gate (long T, d % 64 != 0) fall back to
 # blockwise, which also remains the non-TPU default.
 TRAIN_ATTN = os.environ.get("FASTMAX_TPU_TRAIN_ATTN", "flash2")

@@ -39,6 +39,29 @@ import jax.numpy as jnp
 # also `_auto_chunk` which scales C with the sequence length.
 DEFAULT_CHUNK = int(os.environ.get("FASTMAX_TPU_CHUNK", 128))
 
+# performer denominator conditioning (see `performer`): q . cumsum(k) has
+# no sign guarantee — it crosses zero for real activations, where both
+# 1/den and d(1/den) blow up. |den| is floored with its sign preserved at a
+# RELATIVE scale, rel * |q| * |cumsum k| (the row is treated as at most
+# ~1/rel away from orthogonal): an absolute floor alone keeps the forward
+# finite but lets near-singular rows emit |o| ~ 1e6 whose backward
+# amplification compounds over layers until the gradient global-norm
+# square overflows f32 (measured: gnorm 9e4 at 4 layers/d=32 -> 4e10 at
+# 8 layers/d=64 -> inf at TinyLlama scale, whereupon
+# clip_by_global_norm multiplies the whole model by nan — the r03 "NaN at
+# bench scale"). The relative floor bounds |o| and its gradients by
+# ~|v|/rel regardless of scale, and is inactive on well-conditioned rows.
+DEN_REL_FLOOR = float(os.environ.get("FASTMAX_TPU_PERFORMER_DEN_REL", 0.05))
+DEN_FLOOR = float(os.environ.get("FASTMAX_TPU_PERFORMER_DEN_FLOOR", 1e-2))
+# belt-and-braces output clip (a softmax-attention output is a convex
+# combination of v rows, a few units; 64 is far outside normal range)
+OUT_CLIP = float(os.environ.get("FASTMAX_TPU_PERFORMER_OUT_CLIP", 64.0))
+
+
+def _clamp_den(den, floor):
+    sign = jnp.where(den >= 0.0, 1.0, -1.0)
+    return sign * jnp.maximum(jnp.abs(den), floor)
+
 
 def _auto_chunk(chunk: int, n: int) -> int:
     """Scale the chunk length up for long sequences: state read+write per
@@ -506,13 +529,21 @@ def linearmax(q, k, v, p: int = 1, mask: bool = True, chunk: int = DEFAULT_CHUNK
 
 
 @partial(jax.jit, static_argnames=("chunk",))
-def performer(q, k, v, eps: float = 1e-6, chunk: int = DEFAULT_CHUNK):
+def performer(q, k, v, eps: float = 1e-6, chunk: int = DEFAULT_CHUNK,
+              den_floor: float = DEN_FLOOR):
     """Causal dot-product linear attention as used by the reference's
     ``performer`` branch (lit_gpt/model.py:534-567): numerator is the causal
     cumulative sum of (q_i . k_j) v_j (the fast-transformers CausalDotProduct
     CUDA kernel), denominator is q_i . (cumsum(k)_i + eps).
 
-    Implemented as the same chunked prefix scan with state (sum k (x) v).
+    Implemented as the same chunked prefix scan with state (sum k (x) v),
+    in f32 throughout. Unlike the reference, the denominator is clamped to
+    +-den_floor with its sign preserved: q . cumsum(k) is an UNSIGNED inner
+    product of raw (not positive-feature-mapped) vectors, so it crosses
+    zero for real activations — the reference's eps only shifts it, and a
+    near-zero crossing overflows 1/den (and its gradient), the r03 NaN at
+    bench scale. The clamp is inactive away from the singularity, so
+    parity with the reference formula holds everywhere it is finite.
     """
     dtype = q.dtype
     q, k, v = (x.astype(jnp.float32) for x in (q, k, v))
@@ -538,7 +569,11 @@ def performer(q, k, v, eps: float = 1e-6, chunk: int = DEFAULT_CHUNK):
         num = num + jnp.einsum("bhim,bhmj->bhij", qi, s_kv)
         k_cum = s_k[:, :, None, :] + jnp.cumsum(ki, axis=-2)
         den = jnp.einsum("bhnd,bhnd->bhn", qi, k_cum + eps)
-        o = num / den[..., None]
+        qn = jnp.sqrt(jnp.sum(qi * qi, axis=-1))
+        kn = jnp.sqrt(jnp.sum((k_cum + eps) ** 2, axis=-1))
+        floor = jnp.maximum(DEN_REL_FLOOR * qn * kn, den_floor)
+        o = num / _clamp_den(den, floor)[..., None]
+        o = jnp.clip(o, -OUT_CLIP, OUT_CLIP)
         s_kv = s_kv + jnp.einsum("bhnm,bhnj->bhmj", ki, vi)
         s_k = s_k + jnp.sum(ki, axis=-2)
         return (s_kv, s_k), o
@@ -623,13 +658,18 @@ def performer_prefill_state(q, k, v, eps: float = 1e-6, chunk: int = DEFAULT_CHU
     return o.astype(dtype), state
 
 
-def performer_decode_step(state, q, k, v, eps: float = 1e-6):
+def performer_decode_step(state, q, k, v, eps: float = 1e-6,
+                          den_floor: float = DEN_FLOOR):
     q, k, v = (x.astype(jnp.float32) for x in (q, k, v))
     s_kv = state["s_kv"] + k[..., :, None] * v[..., None, :]
     s_k = state["s_k"] + k
     num = jnp.einsum("bhm,bhmj->bhj", q, s_kv)
     den = jnp.einsum("bhm,bhm->bh", q, s_k + eps)
-    o = num / den[..., None]
+    qn = jnp.sqrt(jnp.sum(q * q, axis=-1))
+    kn = jnp.sqrt(jnp.sum((s_k + eps) ** 2, axis=-1))
+    floor = jnp.maximum(DEN_REL_FLOOR * qn * kn, den_floor)
+    o = jnp.clip(num / _clamp_den(den, floor)[..., None],
+                 -OUT_CLIP, OUT_CLIP)
     return {"s_kv": s_kv, "s_k": s_k}, o
 
 def linear_attn_state_init(batch: int, heads: int, d: int, p: int):

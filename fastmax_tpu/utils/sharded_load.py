@@ -158,6 +158,93 @@ def materialize_sharded(lazy_params: dict, mesh, specs: dict, dtype=jnp.bfloat16
     )
 
 
+def load_quantized_model_params(
+    checkpoint_dir: Path,
+    *,
+    cfg=None,
+    mode: str = "int8",
+    act_dtype=jnp.bfloat16,
+):
+    """(config, quantized params): stream a converted checkpoint straight
+    into the int8 / tiled-int4 serving pytree with host RAM bounded at
+    ~one layer slice plus one leaf's quantized copy.
+
+    The role of the reference's load-then-quantize flow (generate/base.py's
+    BitsandbytesPrecision converting each Linear as the checkpoint streams
+    through it) at 7B-70B scale: each stacked linear kernel is read
+    layer-slice-at-a-time from the mmap'd converted checkpoint, quantized
+    on host in numpy, and shipped to device once per leaf — the dense
+    model never exists in host RAM or on device. wte / lm_head / MoE
+    experts stay dense (the engine's quantization skip rules).
+
+    mode "int8": per-output-channel symmetric int8 ({"q8", "scale8"}).
+    mode "int4": tiled linear-int4, rank-1 scale envelope (the fastest
+                 decode representation measured on this chip — see
+                 ops/quant_pallas.py).
+    """
+    from ..models.config import Config
+    from ..ops import quant
+
+    checkpoint_dir = Path(checkpoint_dir)
+    if cfg is None:
+        cfg = Config.from_checkpoint(checkpoint_dir)
+    lazy = lazy_model_params(checkpoint_dir, cfg)
+    np_dtype = np.dtype(act_dtype)
+
+    def read_full(leaf: LazyLeaf) -> np.ndarray:
+        return leaf.read(tuple(slice(None) for _ in leaf.shape))
+
+    def put_dense(leaf: LazyLeaf):
+        return jnp.asarray(read_full(leaf).astype(np_dtype))
+
+    def layer_slices(leaf: LazyLeaf):
+        """Yield per-layer 2D (in, out) kernels of a (L, in, out) stack —
+        one layer in host RAM at a time — or the kernel itself if 2D."""
+        if len(leaf.shape) == 2:
+            yield read_full(leaf)
+            return
+        for l in range(leaf.shape[0]):
+            yield leaf.read((l,) + tuple(slice(None) for _ in leaf.shape[1:]))
+
+    def quantize_leaf(leaf: LazyLeaf) -> dict:
+        if mode == "int8":
+            qs, ss = [], []
+            for w in layer_slices(leaf):
+                w = np.asarray(w, np.float32)
+                scale = np.abs(w).max(axis=0) / 127.0
+                scale = np.where(scale == 0, 1.0, scale).astype(np.float32)
+                qs.append(np.clip(np.round(w / scale[None, :]), -128, 127)
+                          .astype(np.int8))
+                ss.append(scale)
+            if len(leaf.shape) == 2:
+                return {"q8": jnp.asarray(qs[0]), "scale8": jnp.asarray(ss[0])}
+            return {"q8": jnp.asarray(np.stack(qs)),
+                    "scale8": jnp.asarray(np.stack(ss))}
+        if mode == "int4":
+            per_layer = [quant.quantize_int4_tiled(w, "rank1")
+                         for w in layer_slices(leaf)]
+            if len(leaf.shape) == 2:
+                return per_layer[0]
+            return {k: jnp.stack([p[k] for p in per_layer])
+                    for k in per_layer[0]}
+        raise ValueError(f"unknown quantization mode {mode!r}")
+
+    def walk(node, path):
+        if isinstance(node, LazyLeaf):
+            return put_dense(node)
+        if isinstance(node, dict):
+            if ("kernel" in node and path[0] not in ("lm_head", "wte")
+                    and "experts" not in path):
+                out = quantize_leaf(node["kernel"])
+                if "bias" in node:
+                    out["bias"] = put_dense(node["bias"])
+                return out
+            return {k: walk(v, path + (k,)) for k, v in node.items()}
+        return node
+
+    return cfg, {k: walk(v, (k,)) for k, v in lazy.items()}
+
+
 def load_sharded_model_params(
     checkpoint_dir: Path,
     mesh,

@@ -67,6 +67,20 @@ def test_linearmax_matches_normalized_reference(qkv):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2, rtol=1e-2)
 
 
+def _well_conditioned_rows(q, k):
+    """Rows where the performer conditioning floor is inactive: |den| above
+    both the absolute floor and the relative (rel * |q| * |cumsum k|) floor,
+    and the output within the clip range."""
+    from fastmax_tpu.ops.fastmax import DEN_FLOOR, DEN_REL_FLOOR
+
+    k_cum = jnp.cumsum(k, axis=-2) + 1e-6
+    den = jnp.einsum("bhnd,bhnd->bhn", q, k_cum)
+    qn = jnp.sqrt(jnp.sum(q * q, axis=-1))
+    kn = jnp.sqrt(jnp.sum(k_cum**2, axis=-1))
+    floor = np.maximum(DEN_REL_FLOOR * np.asarray(qn * kn), DEN_FLOOR)
+    return np.abs(np.asarray(den)) > np.maximum(floor * 1.01, 1.0), den
+
+
 def test_performer_matches_naive(qkv):
     q, k, v = qkv
     s = jnp.einsum("bhid,bhjd->bhij", q, k)
@@ -76,9 +90,11 @@ def test_performer_matches_naive(qkv):
     ref = num / den[..., None]
     out = performer(q, k, v, chunk=64)
     # the identity feature map lets denominators pass arbitrarily close to
-    # zero; compare only on well-conditioned rows, and additionally require
-    # chunk-size invariance everywhere (an unconditioned internal check)
-    good = np.abs(np.asarray(den)) > 1.0
+    # zero; the op floors those rows (DEN_REL_FLOOR) — compare only where
+    # the floor is inactive, and additionally require chunk-size
+    # invariance everywhere (an unconditioned internal check)
+    good, _ = _well_conditioned_rows(q, k)
+    good &= np.all(np.abs(np.asarray(ref)) < 64.0, axis=-1)
     assert good.mean() > 0.5
     np.testing.assert_allclose(
         np.asarray(out)[good], np.asarray(ref)[good], atol=5e-2, rtol=5e-2
@@ -221,3 +237,71 @@ def test_auto_head_groups_divides_heads():
     # always a divisor of h
     g = _auto_head_groups(16, 12, 64, p=2)
     assert 12 % g == 0 and g > 1
+
+
+def test_performer_bf16_long_T_finite_fwd_and_grad():
+    """Performer must stay finite in bf16 at training scale (verdict r03
+    weak #3: NaN loss at bs16 seq1024). The raw-q.k denominator crosses
+    zero for real activations; the sign-preserving clamp keeps 1/den and
+    its gradient bounded. Checks a long-T bf16 forward + the f32 grad of a
+    scalar loss through the scan."""
+    key = jax.random.PRNGKey(42)
+    b, h, t, d = 2, 4, 2048, 64
+    # large-magnitude inputs drive q.cumsum(k) through zero many times
+    q, k, v = (3.0 * jax.random.normal(kk, (b, h, t, d), jnp.bfloat16)
+               for kk in jax.random.split(key, 3))
+    out = performer(q, k, v, chunk=128)
+    assert out.dtype == jnp.bfloat16
+    assert bool(jnp.all(jnp.isfinite(out.astype(jnp.float32))))
+
+    def loss(q, k, v):
+        return jnp.mean(performer(q, k, v, chunk=128).astype(jnp.float32) ** 2)
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(
+        q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32)
+    )
+    for a in g:
+        assert bool(jnp.all(jnp.isfinite(a)))
+
+
+def test_performer_clamp_inactive_on_conditioned_rows(qkv):
+    """Away from the den ~ 0 singularity the conditioning floor must not
+    perturb the reference formula: outputs on well-conditioned rows are
+    identical with and without a (tiny) absolute floor."""
+    q, k, v = qkv
+    out_default = performer(q, k, v, chunk=64)
+    out_tiny_floor = performer(q, k, v, chunk=64, den_floor=1e-30)
+    good, _ = _well_conditioned_rows(q, k)
+    np.testing.assert_array_equal(
+        np.asarray(out_default)[good], np.asarray(out_tiny_floor)[good]
+    )
+
+
+def test_performer_training_scale_gradients_bounded():
+    """Regression for the r03 bench-scale NaN: an 8-layer d=64 bf16 model's
+    gradient global-norm through performer attention must stay O(10), not
+    the 1e10+ amplification the unconditioned denominator produced (which
+    overflowed the f32 norm-square at 22 layers and nan'd the model via
+    clip_by_global_norm)."""
+    import optax
+
+    from fastmax_tpu.models import gpt
+    from fastmax_tpu.models.config import Config
+    from fastmax_tpu.training.step import make_loss_fn
+
+    cfg = Config(
+        name="performer-gnorm", block_size=256, vocab_size=256,
+        padded_vocab_size=256, n_layer=4, n_head=4, n_embd=256,
+        n_query_groups=4, rotary_percentage=1.0, parallel_residual=False,
+        bias=False, _norm_class="RMSNorm", _mlp_class="LLaMAMLP",
+        intermediate_size=512, attn_alg="performer",
+    )
+    params = gpt.init_params(cfg, jax.random.PRNGKey(0), jnp.bfloat16)
+    loss_fn = make_loss_fn(cfg, remat=True)
+    batch = jnp.asarray(
+        np.random.default_rng(0).integers(0, 256, (2, 257)), jnp.int32
+    )
+    loss, grads = jax.jit(jax.value_and_grad(loss_fn))(params, batch)
+    gnorm = float(optax.global_norm(grads))
+    assert np.isfinite(float(loss))
+    assert np.isfinite(gnorm) and gnorm < 1e3, gnorm

@@ -226,3 +226,52 @@ def test_tp_engine_decode_with_sharded_cache(cache_dtype):
     with mesh:
         out = engine.generate(prompt, 24, temperature=0.0, key=jax.random.PRNGKey(2))
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+@pytest.mark.parametrize("mode", ["int8", "int4"])
+def test_streaming_quantized_load_matches_in_memory(tmp_path, mode):
+    """load_quantized_model_params: streaming layer-at-a-time quantization
+    from the mmap'd checkpoint must be BIT-IDENTICAL to quantizing the
+    in-memory dense model (verdict r03 next #6 — the 7B serve path loads
+    real disk weights through this)."""
+    from fastmax_tpu.models.params import params_to_flat
+    from fastmax_tpu.ops import quant
+    from fastmax_tpu.utils.checkpoint import save_flat_checkpoint
+    from fastmax_tpu.utils.sharded_load import load_quantized_model_params
+
+    cfg = small_cfg()
+    params = gpt.init_params(cfg, jax.random.PRNGKey(0))
+    ckpt = tmp_path / "ckpt"
+    ckpt.mkdir()
+    save_flat_checkpoint(params_to_flat(params, cfg), ckpt)
+
+    _, streamed = load_quantized_model_params(ckpt, cfg=cfg, mode=mode)
+
+    if mode == "int8":
+        ref = quant.quantize_model(params, "bnb.int8")
+        ref_attn = ref["blocks"]["attn"]["attn"]
+        got_attn = streamed["blocks"]["attn"]["attn"]
+        np.testing.assert_array_equal(np.asarray(got_attn["q8"]),
+                                      np.asarray(ref_attn["q8"]))
+        np.testing.assert_array_equal(np.asarray(got_attn["scale8"]),
+                                      np.asarray(ref_attn["scale8"]))
+    else:
+        kern = np.asarray(params["blocks"]["attn"]["attn"]["kernel"], np.float32)
+        per_layer = [quant.quantize_int4_tiled(kern[l], "rank1")
+                     for l in range(kern.shape[0])]
+        got_attn = streamed["blocks"]["attn"]["attn"]
+        for key in per_layer[0]:
+            ref_stack = np.stack([np.asarray(p[key]) for p in per_layer])
+            np.testing.assert_array_equal(np.asarray(got_attn[key]), ref_stack,
+                                          err_msg=key)
+
+    # dense leaves (wte, lm_head, norms) arrive unquantized in act dtype
+    assert streamed["wte"].dtype == jnp.bfloat16
+    assert "q8" not in streamed.get("lm_head", {})
+
+    # and the engine serves the streamed pytree directly
+    from fastmax_tpu.inference.engine import InferenceEngine
+
+    eng = InferenceEngine(cfg, streamed, max_seq_length=32, batch_size=1)
+    out = eng.generate(jnp.arange(1, 6, dtype=jnp.int32), 12, temperature=0.0)
+    assert out.shape == (1, 12)

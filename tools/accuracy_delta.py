@@ -56,7 +56,11 @@ def main() -> None:
     ap.add_argument("--ckpt", required=True, help="orbax train-state dir")
     ap.add_argument("--assets", default="eval_assets")
     ap.add_argument("--model_name", default="easy-transformer")
-    ap.add_argument("--modes", default="fp32,bnb.nf4,bnb.nf4-dq,nf4-int8,bnb.int8,gptq.int4")
+    ap.add_argument(
+        "--modes",
+        default="fp32,bnb.nf4,bnb.nf4-dq,nf4-int8,nf4-int4,nf4-int4-block,"
+                "bnb.int8,gptq.int4",
+    )
     ap.add_argument("--ppl_bytes", type=int, default=65536)
     ap.add_argument("--seq_len", type=int, default=512)
     args = ap.parse_args()
@@ -102,6 +106,14 @@ def main() -> None:
             # weights mode (bench.py headline): NF4 -> dequant -> per-channel
             # int8. Measures the re-representation the verdict flagged.
             p = quant.requantize_int8_model(quant.quantize_model(params, "bnb.nf4"))
+        elif mode in ("nf4-int4", "nf4-int4-block"):
+            # the r04 tiled linear-int4 serving re-representations
+            # (weights_mode preload_int4{,_block}): NF4 -> dequant ->
+            # signed nibbles with a rank-1 (u x v) or exact per-64-block
+            # scale. Gates whether "auto" may serve them.
+            scheme = "block" if mode.endswith("block") else "rank1"
+            p = quant.requantize_int4_model(
+                quant.quantize_model(params, "bnb.nf4"), scheme)
         elif mode == "gptq.int4":
             from fastmax_tpu.ops.gptq import gptq_quantize_model
 
