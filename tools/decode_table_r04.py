@@ -35,6 +35,7 @@ ROWS = {
     "7b_nf4": ("Llama-2-7b-hf", "nf4"),
     "7b_int4": ("Llama-2-7b-hf", "int4"),
     "13b_nf4": ("Llama-2-13b-hf", "nf4"),
+    "13b_int8": ("Llama-2-13b-hf", "int8"),
     "13b_int4": ("Llama-2-13b-hf", "int4"),
 }
 
