@@ -47,18 +47,30 @@ from fastmax_tpu.ops.quant_pallas import (
 SHAPES_7B = [(4096, 12288), (4096, 4096), (4096, 22016), (11008, 4096)]
 
 
-def _time(fn, *args, iters=30):
-    # FETCH the result, never block_until_ready: this tunneled runtime acks
-    # block_until_ready early (the first run of this lab measured 1868 GB/s
-    # "read" — 2.3x the chip's physical HBM bandwidth — before the fetch)
-    np.asarray(fn(*args)[0, :1])
+def _time(fn, x0, iters=40):
+    """Single-dispatch chained timing (the matmul_ceiling protocol).
+
+    Two failure modes this avoids on the tunneled runtime: (a)
+    block_until_ready acks EARLY (the first run of this lab measured
+    1868 GB/s "read" — 2.3x physical HBM); (b) one fetch per dispatch
+    costs a ~25 ms tunnel round-trip that swamps a ~30 us kernel (the
+    second run measured every variant at ~900 us). So: iters kernel
+    calls chained inside ONE fori_loop dispatch via an epsilon data
+    dependency, fetch once."""
+
+    def many(x, n):
+        def body(_, x):
+            y = fn(x)
+            return x + (1e-30 * jnp.sum(y)).astype(x.dtype)
+
+        return jax.lax.fori_loop(0, n, body, x)
+
+    f = jax.jit(many)
+    np.asarray(f(x0, 1)[0, :1])  # compile + warm
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        out = None
-        for _ in range(iters):
-            out = fn(*args)
-        np.asarray(out[0, :1])
+        np.asarray(f(x0, iters)[0, :1])
         best = min(best, (time.perf_counter() - t0) / iters)
     return best
 
@@ -179,24 +191,27 @@ def main() -> None:
 
         for variant in args.variants.split(","):
             try:
+                x0 = x1p
                 if variant == "base":
                     pw = jnp.asarray(pack_int4_tiled(codes))
-                    fn = lambda: int4_matmul_tiled(x1p, pw)
+                    fn = lambda x, pw=pw: int4_matmul_tiled(x, pw)
                 elif variant.startswith("tk"):
                     tk = int(variant[2:])
                     if k_pad % tk:
                         raise ValueError(f"k_pad {k_pad} % {tk}")
                     pw = jnp.asarray(pack_int4_tiled(codes, tile_k=tk))
-                    fn = lambda: int4_matmul_tiled(x1p, pw)
+                    fn = lambda x, pw=pw: int4_matmul_tiled(x, pw)
                 elif variant == "onedot":
                     pw = jnp.asarray(pack_int4_tiled(codes, tile_k=1024))
-                    fn = lambda: onedot_matmul(x1p, pw)
+                    fn = lambda x, pw=pw: onedot_matmul(x, pw)
                 elif variant == "m8":
                     pw = jnp.asarray(pack_int4_tiled(codes))
-                    fn = lambda: m8_matmul_jit(x8, pw, dtype=jnp.float32)
+                    fn = lambda x, pw=pw: m8_matmul(x, pw, dtype=jnp.float32)
+                    x0 = x8
                 elif variant == "m8bf16":
                     pw = jnp.asarray(pack_int4_tiled(codes))
-                    fn = lambda: m8_matmul_jit(x8, pw, dtype=jnp.bfloat16)
+                    fn = lambda x, pw=pw: m8_matmul(x, pw, dtype=jnp.bfloat16)
+                    x0 = x8
                 elif variant == "xla":
                     k8 = k_pad // 8
                     full = np.zeros((k_pad, n), np.int32)
@@ -206,10 +221,10 @@ def main() -> None:
                     for p in range(8):
                         words |= q[:, p, :] << (4 * p)
                     w32 = jnp.asarray(words.view(np.int32))
-                    fn = lambda: xla_unpack_jit(x1p, w32)
+                    fn = lambda x, w32=w32: xla_unpack_matmul(x, w32)
                 else:
                     continue
-                dt = _time(fn)
+                dt = _time(fn, x0)
                 print(json.dumps({
                     "variant": variant, "k": k, "n": n,
                     "us": round(dt * 1e6, 2),
