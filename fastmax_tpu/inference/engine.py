@@ -215,9 +215,18 @@ class InferenceEngine:
         if mode == "preload_int4_block":
             return quant.requantize_int4_model(params, "block")
         # auto: int8 weights already serve through the fused int8 matmul —
-        # that IS the fast path, never widen them. 4-bit weights preload to
-        # dense int8 when the int8 model fits in ~60% of device memory.
+        # that IS the fast path, never widen them. Tiled-int4 weights
+        # (q4r1/q4b) likewise stay native: they are already the fastest
+        # measured decode representation on this chip (decode_table_r04:
+        # 84.1 vs int8's 78.0 tok/s at 7B), and re-representing them as
+        # int8 would add a second quantization error on top of the first
+        # (r04: the 7B e2e initially lost 23% throughput to exactly this).
+        # Packed NF4/FP4 checkpoints preload to dense int8 when that fits
+        # in ~60% of device memory.
         if not has_q4:
+            return params
+        if any(str(p[-1]).find("q4r1") >= 0 or str(p[-1]).find("q4b") >= 0
+               for p, _ in leaves):
             return params
         int8_bytes = _dense_param_count(params)  # 1 byte/param
         dev = jax.devices()[0]

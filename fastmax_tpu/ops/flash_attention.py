@@ -463,15 +463,22 @@ def _fused_block(t: int) -> int:
 
 
 def _fused_eligible(t: int, d: int) -> bool:
-    # Backward keeps ~9 (T, D) f32-equivalent tensors live (q/k/v/o/do,
-    # dq/dk/dv accumulators, recompute operands) plus the (T, D) f32
-    # delta/lse scratch, per-block (blk, blk) f32 score transients, and
-    # grid double-buffering of the inputs. Budget ~10 whole-head tensors
-    # + an 8 MB transient allowance against the kernels' 100 MB
-    # vmem_limit_bytes with headroom (advisor r03: the old "9 tensors vs
-    # 48 MB" bound ignored scratch/transients and could pass shapes that
-    # fail to compile near the limit).
-    return t * d * 4 * 10 + 8 * 2**20 <= 72 * 2**20
+    # Two VMEM limits gate the whole-head kernels:
+    # 1. bytes: ~9 (T, D) f32-equivalent live tensors (q/k/v/o/do,
+    #    dq/dk/dv accumulators, recompute operands) + (T, D) scratch +
+    #    double buffering, budgeted as 10 tensors + 8 MB against the
+    #    100 MB vmem_limit_bytes;
+    # 2. SCOPED allocations from the trace-time-unrolled block loops: the
+    #    fused backward unrolls nb*(nb+1)/2 block pairs (nb = T/512),
+    #    each with (512, 512) f32 score transients whose live ranges
+    #    Mosaic does not fully reuse — measured on v5e d=64: T=4096
+    #    (nb=8, 36 pairs) compiles and runs at 48.6% MFU; T=8192 (nb=16,
+    #    136 pairs) fails with a scoped-allocation OOM in every isolated
+    #    leg (bench_results/longctx_r04.jsonl, r04). Gate at the
+    #    empirically-verified T*D boundary so longer shapes fall back to
+    #    the grid-mapped kernels instead of failing compilation
+    #    (advisor r03: the old bytes-only bound passed shapes that fail).
+    return t * d <= 4096 * 64 and t * d * 4 * 10 + 8 * 2**20 <= 72 * 2**20
 
 
 def _whole_fwd_kernel(q_ref, k_ref, v_ref, out_ref, lse_ref,

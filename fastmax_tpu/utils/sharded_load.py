@@ -185,11 +185,30 @@ def load_quantized_model_params(
     from ..models.config import Config
     from ..ops import quant
 
+    import mmap as _mmap
+
+    from ..models.params import flat_to_params
+
     checkpoint_dir = Path(checkpoint_dir)
     if cfg is None:
         cfg = Config.from_checkpoint(checkpoint_dir)
-    lazy = lazy_model_params(checkpoint_dir, cfg)
+    flat = open_lazy_checkpoint(checkpoint_dir)
+    lazy = flat_to_params(flat, cfg, leaf_get=_lazy_get, leaf_stack=_lazy_stack)
     np_dtype = np.dtype(act_dtype)
+
+    def drop_pages() -> None:
+        """Release the mmap'd checkpoint pages read so far. Without this,
+        clean file-backed pages stay resident and peak RSS grows to the
+        full checkpoint size even though the quantizer only ever NEEDS one
+        layer slice (measured r04: 17.1 GB VmHWM on a 12.55 GB 7B load;
+        with per-leaf madvise(DONTNEED) the walk stays bounded)."""
+        for h in flat.values():
+            mm = getattr(h, "_mmap", None)
+            if mm is not None:
+                try:
+                    mm.madvise(_mmap.MADV_DONTNEED)
+                except (AttributeError, OSError, ValueError):
+                    pass
 
     def read_full(leaf: LazyLeaf) -> np.ndarray:
         return leaf.read(tuple(slice(None) for _ in leaf.shape))
@@ -231,18 +250,23 @@ def load_quantized_model_params(
 
     def walk(node, path):
         if isinstance(node, LazyLeaf):
-            return put_dense(node)
+            out = put_dense(node)
+            drop_pages()
+            return out
         if isinstance(node, dict):
             if ("kernel" in node and path[0] not in ("lm_head", "wte")
                     and "experts" not in path):
                 out = quantize_leaf(node["kernel"])
                 if "bias" in node:
                     out["bias"] = put_dense(node["bias"])
+                drop_pages()
                 return out
             return {k: walk(v, path + (k,)) for k, v in node.items()}
         return node
 
-    return cfg, {k: walk(v, (k,)) for k, v in lazy.items()}
+    result = {k: walk(v, (k,)) for k, v in lazy.items()}
+    drop_pages()
+    return cfg, result
 
 
 def load_sharded_model_params(

@@ -168,6 +168,25 @@ def test_auto_mode_keeps_int8_native():
     assert "q8" in resolved["blocks"]["attn"]["attn"]
 
 
+def test_auto_mode_keeps_tiled_int4_native():
+    """auto must NOT re-represent tiled-int4 weights as int8: int4 is the
+    faster decode representation (decode_table_r04) and an int8 re-rep
+    would stack a second quantization error (r04: the 7B disk-weights e2e
+    initially lost 23% throughput to exactly this)."""
+    from fastmax_tpu.models.config import Config
+    from fastmax_tpu.models import gpt
+    from fastmax_tpu.inference.engine import InferenceEngine
+
+    cfg = Config(block_size=32, vocab_size=64, padded_vocab_size=64,
+                 n_layer=1, n_head=2, n_embd=64, rotary_percentage=1.0)
+    params = gpt.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    for scheme, key in (("rank1", "q4r1"), ("block", "q4b")):
+        m = quant.requantize_int4_model(
+            quant.quantize_model(params, "bnb.nf4"), scheme)
+        resolved = InferenceEngine._resolve_weights(m, "auto")
+        assert key in resolved["blocks"]["attn"]["attn"], scheme
+
+
 def test_fused_gate_up_exact():
     """The fc_12 (gate|up) fused inference layout is numerically exact for
     dense, int8, and packed-4-bit weights, and skipped for double-quant."""
