@@ -151,8 +151,10 @@ class InferenceEngine:
                         docs/accuracy.md);
         "preload_int4_block" same with exact per-64-block scales: ~620
                         G params/s, tighter accuracy than rank-1;
-        "auto"          int8 models stay native (that IS the fast path);
-                        4-bit models preload to int8 when they fit in HBM.
+        "auto"          int8 and tiled-int4 models stay native (those ARE
+                        the fast paths); packed NF4/FP4 models preload to
+                        tiled int4 on TPU (fastest + smallest, r04 decode
+                        table), to int8 elsewhere when that fits in HBM.
         """
         self.cfg = cfg
         # mesh: when serving TP/FSDP-sharded params, place fresh KV caches
@@ -228,6 +230,17 @@ class InferenceEngine:
         if any(str(p[-1]).find("q4r1") >= 0 or str(p[-1]).find("q4b") >= 0
                for p, _ in leaves):
             return params
+        if jax.default_backend() == "tpu":
+            # packed NF4/FP4 -> tiled int4 (rank-1): the fastest measured
+            # decode representation on this chip at HALF the int8 re-rep's
+            # footprint (decode_table_r04: 7B 84.1 vs 78.0 tok/s at
+            # 3.56 vs 9.22 GB; 13B fits ONLY in int4 on 16 GB). Accuracy
+            # cost vs the int8 re-rep is +0.002 bits/byte and -0.2 pp
+            # (inside the 1.1 pp se) on the n=2000 cloze benchmark
+            # (bench_results/accuracy_int4_r04.log, docs/accuracy.md);
+            # callers wanting the exact packed codebook use
+            # weights_mode="quantized", tighter scales "preload_int4_block".
+            return quant.requantize_int4_model(params, "rank1")
         int8_bytes = _dense_param_count(params)  # 1 byte/param
         dev = jax.devices()[0]
         limit = 0
