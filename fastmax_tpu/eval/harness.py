@@ -165,7 +165,17 @@ class FastmaxLM:
         This makes rolling metrics (wikitext-style perplexity, bits/byte)
         directly comparable to published lm-eval numbers; a sliding-window
         variant that keeps extra history would systematically overstate
-        loglikelihood."""
+        loglikelihood.
+
+        One deliberate deviation from lm-eval's windowing: each window
+        scores ``max_seq_length - 1`` tokens (context token + predictions
+        fill the forward buffer INCLUDING the final target), where
+        ``get_rolling_token_windows(context_len=1)`` scores
+        ``max_seq_length`` per window because BaseLM drops the last
+        continuation token from the model input. Every token is still
+        scored exactly once with >= 1 token of context — only the window
+        boundaries shift by one token — so the summed loglikelihood is
+        exact, not approximated."""
         if not toks:
             return 0.0
         # 1 context token + pred_len scored tokens fill the model buffer

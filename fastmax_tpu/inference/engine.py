@@ -240,6 +240,15 @@ class InferenceEngine:
             # (bench_results/accuracy_int4_r04.log, docs/accuracy.md);
             # callers wanting the exact packed codebook use
             # weights_mode="quantized", tighter scales "preload_int4_block".
+            import logging
+
+            logging.getLogger(__name__).info(
+                "weights_mode='auto': re-representing the packed 4-bit "
+                "codebook as tiled rank-1 int4 for serving (not bit-exact "
+                "NF4/FP4; measured delta +0.002 bits/byte, docs/accuracy.md)."
+                " Pass weights_mode='quantized' to serve the codebook "
+                "bit-faithfully."
+            )
             return quant.requantize_int4_model(params, "rank1")
         int8_bytes = _dense_param_count(params)  # 1 byte/param
         dev = jax.devices()[0]

@@ -128,9 +128,10 @@ def init_kv_cache(cfg: Config, batch_size: int, max_seq_length: int, dtype=jnp.f
     """Grouped KV cache: (L, B, n_query_groups, S, head_size).
 
     dtype == jnp.int8 selects the quantized cache: values are stored int8
-    with a per-token-per-group float16 absmax scale (halves KV memory vs
-    bf16 — the long-context lever the reference lacked; its cache was a
-    dense pre-allocated fp buffer, model.py:711-740).
+    with a per-token-per-group f32 absmax scale (1/head_size of the code
+    bytes; nearly halves KV memory vs bf16 — the long-context lever the
+    reference lacked; its cache was a dense pre-allocated fp buffer,
+    model.py:711-740).
     """
     shape = (cfg.n_layer, batch_size, cfg.n_query_groups, max_seq_length, cfg.head_size)
     if dtype == jnp.int8:
@@ -138,8 +139,8 @@ def init_kv_cache(cfg: Config, batch_size: int, max_seq_length: int, dtype=jnp.f
         return {
             "k": jnp.zeros(shape, jnp.int8),
             "v": jnp.zeros(shape, jnp.int8),
-            "k_scale": jnp.zeros(sshape, jnp.float16),
-            "v_scale": jnp.zeros(sshape, jnp.float16),
+            "k_scale": jnp.zeros(sshape, jnp.float32),
+            "v_scale": jnp.zeros(sshape, jnp.float32),
         }
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
@@ -147,7 +148,10 @@ def init_kv_cache(cfg: Config, batch_size: int, max_seq_length: int, dtype=jnp.f
 def _quantize_kv(x: jnp.ndarray):
     """Per-token-per-group symmetric int8: x (B, G, T, hs) -> (codes, scale)."""
     absmax = jnp.max(jnp.abs(x), axis=-1)
-    scale = (absmax / 127.0).astype(jnp.float16)
+    # f32 scales: tiny next to the int8 codes (1/head_size of the bytes)
+    # and the mosaic dialect takes them as decode-kernel operands directly
+    # (f16 is rejected: "Unsupported type in mosaic dialect: 'f16'")
+    scale = (absmax / 127.0).astype(jnp.float32)
     safe = jnp.where(scale == 0, 1.0, scale.astype(x.dtype))
     codes = jnp.clip(jnp.round(x / safe[..., None]), -127, 127).astype(jnp.int8)
     return codes, scale
@@ -254,10 +258,18 @@ def apply_attn(
     mask: Optional[jnp.ndarray],
     kv_cache: Optional[Tuple[jnp.ndarray, jnp.ndarray]],
     input_pos: Optional[jnp.ndarray],
+    layer: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
     """Fused-QKV grouped attention (ref model.py:380-458).
 
-    Returns (output, updated (k_cache, v_cache) or None).
+    ``layer`` selects the STACKED-cache mode: kv_cache leaves carry the
+    full (n_layer, ...) stack (the forward's scan carry — in-place
+    dynamic-update-slice; a scanned-xs/ys cache copied all 268 MB every
+    decode step, measured 1.75 ms at 7B S=1024) and ``layer`` is this
+    block's traced index. layer=None keeps per-layer cache slices (gptq
+    calibration, direct callers).
+
+    Returns (output, updated cache or None).
     """
     b, t, _ = x.shape
     hs, g = cfg.head_size, cfg.n_query_groups
@@ -287,21 +299,28 @@ def apply_attn(
         else:
             k_new, v_new = k, v
         k_cache, v_cache = kv_cache["k"], kv_cache["v"]
+        stacked = layer is not None
         if input_pos.ndim == 0:
             # write the T new tokens at offset input_pos (prefill chunk/decode)
             zero = jnp.zeros_like(input_pos)
+            lead = (layer, zero) if stacked else (zero,)
+            expand = (lambda a: a[None]) if stacked else (lambda a: a)
             k_cache = jax.lax.dynamic_update_slice(
-                k_cache, k_new.astype(k_cache.dtype), (zero, zero, input_pos, zero)
+                k_cache, expand(k_new.astype(k_cache.dtype)),
+                lead + (zero, input_pos, zero),
             )
             v_cache = jax.lax.dynamic_update_slice(
-                v_cache, v_new.astype(v_cache.dtype), (zero, zero, input_pos, zero)
+                v_cache, expand(v_new.astype(v_cache.dtype)),
+                lead + (zero, input_pos, zero),
             )
             if quantized_cache:
                 ks = jax.lax.dynamic_update_slice(
-                    kv_cache["k_scale"], k_new_scale, (zero, zero, input_pos)
+                    kv_cache["k_scale"], expand(k_new_scale),
+                    lead + (zero, input_pos),
                 )
                 vs = jax.lax.dynamic_update_slice(
-                    kv_cache["v_scale"], v_new_scale, (zero, zero, input_pos)
+                    kv_cache["v_scale"], expand(v_new_scale),
+                    lead + (zero, input_pos),
                 )
         else:
             # per-slot positions (continuous batching): scatter row b's T
@@ -310,22 +329,73 @@ def apply_attn(
             # updates are the (B, T, G, hs) transpose of the new k/v)
             rows = jnp.arange(b)[:, None]  # (B, 1)
             pos = input_pos[:, None] + jnp.arange(t)  # (B, T)
-            k_cache = k_cache.at[rows, :, pos, :].set(
+            klead = (layer, rows) if stacked else (rows,)
+            k_cache = k_cache.at[klead + (slice(None), pos, slice(None))].set(
                 k_new.transpose(0, 2, 1, 3).astype(k_cache.dtype)
             )
-            v_cache = v_cache.at[rows, :, pos, :].set(
+            v_cache = v_cache.at[klead + (slice(None), pos, slice(None))].set(
                 v_new.transpose(0, 2, 1, 3).astype(v_cache.dtype)
             )
             if quantized_cache:
-                ks = kv_cache["k_scale"].at[rows, :, pos].set(k_new_scale.transpose(0, 2, 1))
-                vs = kv_cache["v_scale"].at[rows, :, pos].set(v_new_scale.transpose(0, 2, 1))
+                ks = kv_cache["k_scale"].at[klead + (slice(None), pos)].set(
+                    k_new_scale.transpose(0, 2, 1))
+                vs = kv_cache["v_scale"].at[klead + (slice(None), pos)].set(
+                    v_new_scale.transpose(0, 2, 1))
+
+        def this_layer(a):
+            return jax.lax.dynamic_index_in_dim(a, layer, 0, keepdims=False) \
+                if stacked else a
+
         if quantized_cache:
             new_cache = {"k": k_cache, "v": v_cache, "k_scale": ks, "v_scale": vs}
-            k = _dequantize_kv(k_cache, ks, act_dtype)
-            v = _dequantize_kv(v_cache, vs, act_dtype)
+            if cfg.attn_alg == "quadratic" and t == 1:
+                # decode: attend over the int8 codes directly (scales fold
+                # into scores/probs); dequantizing the whole cache here cost
+                # 2.5 ms/token at 7B (decode_profile_r05a.jsonl). On TPU the
+                # Pallas kernels stream the cache at its int8 bytes — the
+                # XLA formulation still materializes the bf16 converts
+                # (decode_profile_r05b.jsonl: 1.9 ms vs ~0.5 ms implied).
+                from ..ops.attention import int8_cache_attention
+                from ..ops.decode_attention import (
+                    int8_decode_attention,
+                    int8_decode_attention_stacked,
+                    int8_decode_eligible,
+                )
+
+                s_len = k_cache.shape[3 if stacked else 2]
+                pallas_ok = (
+                    jax.default_backend() == "tpu"
+                    and int8_decode_eligible(t, hs, s_len)
+                )
+                posv = (
+                    input_pos
+                    if input_pos.ndim == 1
+                    else jnp.broadcast_to(input_pos, (b,))
+                )
+                if pallas_ok and stacked:
+                    # read layer ``layer`` straight out of the carried stack
+                    # (scalar-prefetched index maps — no 8 MB slice copy)
+                    y = int8_decode_attention_stacked(
+                        q, k_cache, v_cache, ks, vs, layer, posv, scale=hs ** -0.5
+                    )
+                elif pallas_ok:
+                    y = int8_decode_attention(
+                        q, k_cache, v_cache, ks, vs, posv, scale=hs ** -0.5
+                    )
+                else:
+                    y = int8_cache_attention(
+                        q, this_layer(k_cache), this_layer(v_cache),
+                        this_layer(ks), this_layer(vs), mask=mask, scale=hs ** -0.5
+                    )
+                y = _finish_attn(p, y, x, cfg, q, b, t, hs)
+                return y, new_cache
+            # prefill (t > 1, one-time) and the linear algorithms read a
+            # dense cache: dequantize once
+            k = _dequantize_kv(this_layer(k_cache), this_layer(ks), act_dtype)
+            v = _dequantize_kv(this_layer(v_cache), this_layer(vs), act_dtype)
         else:
             new_cache = {"k": k_cache, "v": v_cache}
-            k, v = k_cache, v_cache
+            k, v = this_layer(k_cache), this_layer(v_cache)
 
     y = None
     if (
@@ -356,6 +426,11 @@ def apply_attn(
             mask=mask,
             is_decode=kv_cache is not None,
         )
+    return _finish_attn(p, y, x, cfg, q, b, t, hs), new_cache
+
+
+def _finish_attn(p, y, x, cfg, q, b, t, hs):
+    """Adapter prefix + head merge + output projection (shared tail)."""
     if "adapter" in p and cfg.attn_alg == "quadratic":
         # LLaMA-Adapter prefix attention (models/adapter.py); the reference
         # likewise only applies it on the SDPA path (adapter.py:119-149)
@@ -366,27 +441,32 @@ def apply_attn(
     # attention math may run in a wider dtype (f32 cache/softmax); keep the
     # residual stream in the activation dtype
     y = y.astype(x.dtype)
-    return linear(p["proj"], y), new_cache
+    return linear(p["proj"], y)
 
 
-def apply_block(bp, x, cfg, cos, sin, mask, kv_cache, input_pos, attn_fn=None):
+def apply_block(bp, x, cfg, cos, sin, mask, kv_cache, input_pos, attn_fn=None,
+                mlp_fn=None, layer=None):
     """One transformer block. ``attn_fn(attn_params, n1) -> (h, new_cache)``
     overrides the attention computation (used by the sequence-parallel mode
-    to substitute ring attention while sharing the residual/MLP wiring)."""
+    to substitute ring attention while sharing the residual/MLP wiring);
+    ``mlp_fn(mlp_params, n2) -> y`` likewise overrides the MLP (used by the
+    composed TP mode to psum the rowwise projection's partial output)."""
     n1 = apply_norm(x, bp["norm_1"], cfg.norm_class_name, cfg.norm_eps, cfg.add_unit_offset)
     if attn_fn is not None:
         h, new_cache = attn_fn(bp["attn"], n1)
     else:
-        h, new_cache = apply_attn(bp["attn"], n1, cfg, cos, sin, mask, kv_cache, input_pos)
+        h, new_cache = apply_attn(bp["attn"], n1, cfg, cos, sin, mask, kv_cache,
+                                  input_pos, layer=layer)
+    mlp = mlp_fn if mlp_fn is not None else (lambda mp, n2: apply_mlp(mp, n2, cfg))
     if cfg.parallel_residual:
         n2 = n1 if cfg.shared_attention_norm else apply_norm(
             x, bp["norm_2"], cfg.norm_class_name, cfg.norm_eps, cfg.add_unit_offset
         )
-        x = apply_mlp(bp["mlp"], n2, cfg) + h + x
+        x = mlp(bp["mlp"], n2) + h + x
     else:
         x = h + x
         n2 = apply_norm(x, bp["norm_2"], cfg.norm_class_name, cfg.norm_eps, cfg.add_unit_offset)
-        x = apply_mlp(bp["mlp"], n2, cfg) + x
+        x = mlp(bp["mlp"], n2) + x
     return x, new_cache
 
 
@@ -426,6 +506,22 @@ def _remat_wrap(body, remat):
     if remat == "dots":
         return jax.checkpoint(
             body, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+        )
+    if remat == "dots_attn":
+        # "dots" + the named attention residuals: the backward recomputes
+        # neither the weight matmuls nor the attention forward — at the cost
+        # of ~(b*t*n_embd + stats) extra HBM/layer over "dots". The point:
+        # under "dots" alone the flash/blockwise custom-VJP residuals
+        # (attn_out/attn_lse) are batched, hence NOT saveable, so the whole
+        # attention forward re-runs inside the rematted backward.
+        return jax.checkpoint(
+            body,
+            policy=jax.checkpoint_policies.save_from_both_policies(
+                jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                jax.checkpoint_policies.save_only_these_names(
+                    "attn_out", "attn_lse"
+                ),
+            ),
         )
     if remat:
         raise ValueError(f"unknown remat policy {remat!r}")
@@ -490,13 +586,24 @@ def forward(
         x = x * (cfg.n_embd ** 0.5)
 
     if kv_cache is not None:
+        # the cache rides in the scan CARRY (full stack, per-layer in-place
+        # dynamic-update-slice at index l). Scanning it as xs/ys instead
+        # copies the whole cache to fresh output buffers every call —
+        # measured 1.75 ms/token at 7B S=1024 vs 0.34 ms for the carry form
+        # (the single largest decode overhead found in r05).
 
         def body(carry, scanned):
-            bp, cache_l = scanned
-            y, cache_l = apply_block(bp, carry, cfg, cos, sin, mask, cache_l, input_pos)
-            return y, cache_l
+            y, cache = carry
+            bp, l = scanned
+            y, cache = apply_block(bp, y, cfg, cos, sin, mask, cache, input_pos,
+                                   layer=l)
+            return (y, cache), None
 
-        x, new_cache = jax.lax.scan(body, x, (params["blocks"], kv_cache), unroll=unroll)
+        (x, new_cache), _ = jax.lax.scan(
+            body, (x, kv_cache),
+            (params["blocks"], jnp.arange(cfg.n_layer, dtype=jnp.int32)),
+            unroll=unroll,
+        )
     else:
 
         def body(carry, bp):

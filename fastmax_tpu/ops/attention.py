@@ -202,6 +202,58 @@ def scaled_dot_product_attention(
     return out.reshape(b, hq, t, d)
 
 
+def int8_cache_attention(
+    q: jnp.ndarray,
+    k_codes: jnp.ndarray,
+    v_codes: jnp.ndarray,
+    k_scale: jnp.ndarray,
+    v_scale: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Softmax attention directly over an int8-quantized KV cache (decode).
+
+    q: (B, Hq, T, D); k_codes/v_codes: (B, G, S, D) int8;
+    k_scale/v_scale: (B, G, S) per-token-per-group symmetric scales.
+
+    The per-position scales factor out of the head-dim contractions, so
+    they are applied to the SCORE/PROBABILITY matrices ((..., T, S) — tiny
+    at decode) instead of dequantizing the cache:
+
+      scores[..., s] = (q . k_codes[s]) * k_scale[s]
+      out = sum_s (probs[..., s] * v_scale[s]) v_codes[s]
+
+    XLA fuses the int8->bf16 convert into the dot operand (the same
+    convert-in-dot pattern as the int8 weight matmul), so per-token HBM
+    traffic is the cache's int8 bytes. The previous formulation
+    materialized a dequantized bf16 cache every decode step — measured
+    2.5 ms/token at 7B S=1024 on v5e, ~22% of the whole step
+    (bench_results/decode_profile_r05a.jsonl: fwd 11.0 ms vs fwd_nokv
+    8.5 ms). Numerics: scales now multiply in f32 AFTER the f32-accumulated
+    dot instead of rounding each dequantized element to bf16 first —
+    equal-or-tighter error, covered by test_kv_quant's close-to-fp bounds.
+    """
+    b, hq, t, d = q.shape
+    g, s = k_codes.shape[1], k_codes.shape[2]
+    rep = hq // g
+    if scale is None:
+        scale = d ** -0.5
+
+    qg = q.reshape(b, g, rep, t, d)
+    scores = jnp.einsum(
+        "bgrtd,bgsd->bgrts", qg, k_codes.astype(q.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    scores = scores * (scale * k_scale.astype(jnp.float32))[:, :, None, None, :]
+    if mask is not None:
+        mask = jnp.broadcast_to(mask, (b, hq, t, s)).reshape(b, g, rep, t, s)
+        scores = jnp.where(mask, scores, NEG_INF)
+    probs = jax_softmax_f32(scores)
+    pv = (probs * v_scale.astype(jnp.float32)[:, :, None, None, :]).astype(q.dtype)
+    out = jnp.einsum("bgrts,bgsd->bgrtd", pv, v_codes.astype(q.dtype))
+    return out.reshape(b, hq, t, d)
+
+
 def jax_softmax_f32(scores: jnp.ndarray) -> jnp.ndarray:
     """Numerically-stable softmax in float32 along the last axis.
 

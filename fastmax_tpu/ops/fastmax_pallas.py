@@ -72,6 +72,49 @@ def _pair_basis(d: int, dtype=jnp.float32):
     return e, f
 
 
+def _sym_width(d: int) -> int:
+    """Lane-padded packed pair count: d*(d+1)/2 rounded up to 128."""
+    return -(-(d * (d + 1) // 2) // 128) * 128
+
+
+@functools.lru_cache(maxsize=8)
+def _pair_basis_sym_np(d: int):
+    """Packed SYMMETRIC expansion bases over pairs m <= j (r05).
+
+    The degree-2 feature map q (x) q is symmetric, so the full d^2 pair
+    space double-counts every off-diagonal pair: the contraction
+    sum_{m,j} q_m q_j S3[(m,j),:] equals sum_{m<=j} w_p q_m q_j S3p[p,:]
+    with w = 2 off-diagonal, 1 on it. Packing to the upper triangle
+    shrinks EVERY d^2-wide matmul in the p=2 path (expansions, the f2
+    contraction, the S3 update, and all four backward foldbacks) from
+    d^2 = 4096 to pad128(d(d+1)/2) = 2176 columns at d=64 — a 1.88x MAC
+    cut on the dominant cost of the kernel (docs/perf.md r05).
+
+    Returns (E (d, P), F (d, P), w (1, P)) as numpy f32, zero-padded:
+    column p of pair (m, j) has E[m, p] = F[j, p] = 1, so
+    X2p = (x @ E) * (x @ F) gives X2p[t, p] = x[t, m_p] * x[t, j_p].
+    """
+    import numpy as np
+
+    p_pad = _sym_width(d)
+    e = np.zeros((d, p_pad), np.float32)
+    f = np.zeros((d, p_pad), np.float32)
+    w = np.zeros((1, p_pad), np.float32)
+    p = 0
+    for m in range(d):
+        for j in range(m, d):
+            e[m, p] = 1.0
+            f[j, p] = 1.0
+            w[0, p] = 1.0 if m == j else 2.0
+            p += 1
+    return e, f, w
+
+
+def _pair_basis_sym(d: int, dtype):
+    e, f, w = _pair_basis_sym_np(d)
+    return jnp.asarray(e, dtype), jnp.asarray(f, dtype), jnp.asarray(w, jnp.float32)
+
+
 def _dot(a, b):
     """a @ b, f32 accumulate."""
     return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
@@ -90,9 +133,13 @@ def _dot_tn(a, b):
                                preferred_element_type=jnp.float32)
 
 
-def _kernel(q_ref, k_ref, v_ref, o_ref,
-            s_v, s_kv, s_k, s_kkv, s_kk, cnt,
-            *, z: float, p: int, chunk: int, d: int, pd):
+def _kernel(*refs, z: float, p: int, chunk: int, d: int, pd):
+    if p == 2:
+        (q_ref, k_ref, v_ref, eb_ref, fb_ref, w_ref, o_ref,
+         s_v, s_kv, s_k, s_kkv, s_kk, cnt) = refs
+    else:
+        (q_ref, k_ref, v_ref, o_ref,
+         s_v, s_kv, s_k, s_kkv, s_kk, cnt) = refs
     c = pl.program_id(1)  # chunk index (sequential per bh)
 
     @pl.when(c == 0)
@@ -135,14 +182,15 @@ def _kernel(q_ref, k_ref, v_ref, o_ref,
                                 preferred_element_type=jnp.float32)
         g_acc += jnp.sum(t * q, axis=1, keepdims=True) / (2.0 * z * z)
 
-        # f2 = (Q2 @ S3) / (2 z^2) — one full-width matmul (see _pair_basis).
-        # Pairwise operands run in the INPUT dtype (bf16 in-model: 2x MXU
-        # rate on the dominant (C, D^2) matmuls; f32 inputs keep f32 so the
-        # parity tests see exact math); accumulation is always f32.
-        e_b, f_b = _pair_basis(d, pd)
+        # f2 = (Q2p * w) @ S3p / (2 z^2) — one packed-width matmul over the
+        # symmetric pair basis (see _pair_basis_sym_np). Pairwise operands
+        # run in the INPUT dtype (bf16 in-model: 2x MXU rate on the dominant
+        # (C, P) matmuls; f32 inputs keep f32 so the parity tests see exact
+        # math); accumulation is always f32.
+        e_b, f_b, w_b = eb_ref[:], fb_ref[:], w_ref[:]
         qp = q_ref[0].astype(pd)
-        q2 = (_dot(qp, e_b) * _dot(qp, f_b)).astype(pd)  # (C, D^2)
-        f_acc += _dot(q2, s_kkv[:].astype(pd)) / (2.0 * z * z)
+        q2w = (_dot(qp, e_b) * _dot(qp, f_b) * w_b).astype(pd)  # (C, P)
+        f_acc += _dot(q2w, s_kkv[:].astype(pd)) / (2.0 * z * z)
 
     o_ref[0] = (f_acc / g_acc).astype(o_ref.dtype)
 
@@ -156,8 +204,8 @@ def _kernel(q_ref, k_ref, v_ref, o_ref,
         s_kk[:] += jax.lax.dot_general(k, k, (((0,), (0,)), ((), ())),
                                        preferred_element_type=jnp.float32)
         kp = k_ref[0].astype(pd)
-        k2 = (_dot(kp, e_b) * _dot(kp, f_b)).astype(pd)  # (C, D^2)
-        s_kkv[:] += _dot_tn(k2, v.astype(pd))            # (D^2, D)
+        k2 = (_dot(kp, e_b) * _dot(kp, f_b)).astype(pd)  # (C, P)
+        s_kkv[:] += _dot_tn(k2, v.astype(pd))            # (P, D)
 
 
 # ---------------------------------------------------------------------------
@@ -165,10 +213,15 @@ def _kernel(q_ref, k_ref, v_ref, o_ref,
 # ---------------------------------------------------------------------------
 
 
-def _fwd_train_kernel(q_ref, k_ref, v_ref,
-                      o_ref, g_ref, skv_ref, sk_ref, skkv_ref, skk_ref,
-                      s_v, s_kv, s_k, s_kkv, s_kk, cnt,
-                      *, z: float, p: int, chunk: int, d: int, pd):
+def _fwd_train_kernel(*refs, z: float, p: int, chunk: int, d: int, pd):
+    if p == 2:
+        (q_ref, k_ref, v_ref, eb_ref, fb_ref, w_ref,
+         o_ref, g_ref, skv_ref, sk_ref, skkv_ref, skk_ref,
+         s_v, s_kv, s_k, s_kkv, s_kk, cnt) = refs
+    else:
+        (q_ref, k_ref, v_ref,
+         o_ref, g_ref, skv_ref, sk_ref, skkv_ref, skk_ref,
+         s_v, s_kv, s_k, s_kkv, s_kk, cnt) = refs
     c = pl.program_id(1)
     nc = pl.num_programs(1)
 
@@ -209,10 +262,10 @@ def _fwd_train_kernel(q_ref, k_ref, v_ref,
                                 preferred_element_type=jnp.float32)
         g_acc += jnp.sum(t * q, axis=1, keepdims=True) / (2.0 * z * z)
 
-        e_b, f_b = _pair_basis(d, pd)
+        e_b, f_b, w_b = eb_ref[:], fb_ref[:], w_ref[:]
         qp = q_ref[0].astype(pd)
-        q2 = (_dot(qp, e_b) * _dot(qp, f_b)).astype(pd)  # (C, D^2)
-        f_acc += _dot(q2, s_kkv[:].astype(pd)) / (2.0 * z * z)
+        q2w = (_dot(qp, e_b) * _dot(qp, f_b) * w_b).astype(pd)  # (C, P)
+        f_acc += _dot(q2w, s_kkv[:].astype(pd)) / (2.0 * z * z)
 
     o_ref[0] = (f_acc / g_acc).astype(o_ref.dtype)
     g_ref[0] = g_acc
@@ -241,15 +294,22 @@ def _fwd_train_kernel(q_ref, k_ref, v_ref,
             skk_ref[0] = jnp.zeros_like(skk_ref[0])
 
 
-def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, g_ref,
-                skv_in, sk_in, skkv_in, skk_in,
-                dq_ref, dk_ref, dv_ref,
-                s_kv, s_k, s_kkv, s_kk,
-                d_sv, d_skv, d_sk, d_skkv, d_skk,
-                *, z: float, p: int, chunk: int, d: int, pd):
+def _bwd_kernel(*refs, z: float, p: int, chunk: int, d: int, pd):
     """One reverse chunk step. Grid index c walks chunks LAST to FIRST (the
     index maps flip the chunk axis); scratch carries the state (rewound by
     subtraction — the reversibility trick) and its cotangents."""
+    if p == 2:
+        (q_ref, k_ref, v_ref, do_ref, o_ref, g_ref,
+         skv_in, sk_in, skkv_in, skk_in, eb_ref, fb_ref, w_ref,
+         dq_ref, dk_ref, dv_ref,
+         s_kv, s_k, s_kkv, s_kk,
+         d_sv, d_skv, d_sk, d_skkv, d_skk) = refs
+    else:
+        (q_ref, k_ref, v_ref, do_ref, o_ref, g_ref,
+         skv_in, sk_in, skkv_in, skk_in,
+         dq_ref, dk_ref, dv_ref,
+         s_kv, s_k, s_kkv, s_kk,
+         d_sv, d_skv, d_sk, d_skkv, d_skk) = refs
     c = pl.program_id(1)
     z2 = 2.0 * z * z
 
@@ -337,34 +397,35 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, g_ref,
     # Pairwise operands in the input dtype (bf16 in-model — see fwd note);
     # all accumulations f32.
     if p == 2:
-        e_b, f_b = _pair_basis(d, pd)
+        e_b, f_b, w_b = eb_ref[:], fb_ref[:], w_ref[:]
         kp = k_ref[0].astype(pd)
         vp = v_ref[0].astype(pd)
         qp = q_ref[0].astype(pd)
-        k2 = (_dot(kp, e_b) * _dot(kp, f_b)).astype(pd)  # (C, D^2)
-        # rewind: S3_prev = S3 - K2^T @ v
+        k2 = (_dot(kp, e_b) * _dot(kp, f_b)).astype(pd)  # (C, P)
+        # rewind: S3p_prev = S3p - K2p^T @ v
         s3 = s_kkv[:] - _dot_tn(k2, vp)
         s_kkv[:] = s3
         s3p = s3.astype(pd)
-        # q-side: f2 = Q2 @ S3_prev / (2 z^2)
+        # q-side: f2 = (Q2p * w) @ S3p_prev / (2 z^2); the symmetric-pair
+        # weight w rides the dQ2p cotangent (and the dS3p update below)
         qa = _dot(qp, e_b)
         qb = _dot(qp, f_b)
-        q2 = (qa * qb).astype(pd)
-        dq2 = _dot_nt(df.astype(pd), s3p)             # (C, D^2) = df @ S3^T
+        dq2 = _dot_nt(df.astype(pd), s3p) * w_b       # (C, P) = (df @ S3p^T) w
         dq += (_dot_nt((dq2 * qb).astype(pd), e_b)
                + _dot_nt((dq2 * qa).astype(pd), f_b)) / z2
         # U-side with the incoming cotangent dS3 (gradients from later
         # chunks, before this chunk's own contribution is added)
         ds3 = d_skkv[:]
         ds3p = ds3.astype(pd)
-        dk2 = _dot_nt(vp, ds3p)                       # (C, D^2) = v @ dS3^T
+        dk2 = _dot_nt(vp, ds3p)                       # (C, P) = v @ dS3p^T
         ka = _dot(kp, e_b)
         kb = _dot(kp, f_b)
         dk += (_dot_nt((dk2 * kb).astype(pd), e_b)
                + _dot_nt((dk2 * ka).astype(pd), f_b))
-        dv += _dot(k2, ds3p)                          # (C, D^2) @ (D^2, D)
-        # cotangent update: dS3 += Q2^T @ df / (2 z^2)
-        d_skkv[:] = ds3 + _dot_tn(q2, df.astype(pd)) / z2
+        dv += _dot(k2, ds3p)                          # (C, P) @ (P, D)
+        # cotangent update: dS3p += (Q2p * w)^T @ df / (2 z^2)
+        q2w = (qa * qb * w_b).astype(pd)
+        d_skkv[:] = ds3 + _dot_tn(q2w, df.astype(pd)) / z2
 
     # ---- non-S3 cotangent updates (apply to the state BEFORE this chunk)
     d_sv[:] += jnp.sum(df, axis=0, keepdims=True)
@@ -414,10 +475,23 @@ def _pair_dtype(dtype, d: int, interpret: bool):
     return jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
 
 
+def _basis_inputs(d: int, d2: int, pd):
+    """Packed symmetric pair bases as kernel inputs (constant index maps —
+    the Pallas pipeline skips the re-copy on revisited blocks, so they are
+    DMA'd once per (bh) row, not per chunk step)."""
+    eb, fb, wb = _pair_basis_sym(d, pd)
+    specs = [
+        pl.BlockSpec((d, d2), lambda bh, c: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((d, d2), lambda bh, c: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d2), lambda bh, c: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    return [eb, fb, wb], specs
+
+
 def _train_fwd_call(q, k, v, z: float, p: int, chunk: int, interpret: bool):
     b, h, n, d = q.shape
     pd = _pair_dtype(q.dtype, d, interpret)
-    d2 = d * d if p == 2 else 1
+    d2 = _sym_width(d) if p == 2 else 1
     dg = d if p == 2 else 1
     qf = q.reshape(b * h, n, d)
     kf = k.reshape(b * h, n, d)
@@ -425,10 +499,11 @@ def _train_fwd_call(q, k, v, z: float, p: int, chunk: int, interpret: bool):
     grid = (b * h, n // chunk)
     seq_spec = pl.BlockSpec((1, chunk, d), lambda bh, c: (bh, c, 0),
                             memory_space=pltpu.VMEM)
+    basis_args, basis_specs = _basis_inputs(d, d2, pd) if p == 2 else ([], [])
     o, g, skv, sk, skkv, skk = pl.pallas_call(
         functools.partial(_fwd_train_kernel, z=z, p=p, chunk=chunk, d=d, pd=pd),
         grid=grid,
-        in_specs=[seq_spec, seq_spec, seq_spec],
+        in_specs=[seq_spec, seq_spec, seq_spec] + basis_specs,
         out_specs=(
             seq_spec,
             pl.BlockSpec((1, chunk, 1), lambda bh, c: (bh, c, 0),
@@ -456,13 +531,13 @@ def _train_fwd_call(q, k, v, z: float, p: int, chunk: int, interpret: bool):
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
-            # (C, D^2) pairwise transients exceed the 16 MB scoped-VMEM
+            # (C, P) pairwise transients exceed the 16 MB scoped-VMEM
             # default at long T (measured 18.9 MB at T=4096); v5e has
             # physical headroom well beyond the default scope
             vmem_limit_bytes=100 * 2**20,
         ),
         interpret=interpret,
-    )(qf, kf, vf)
+    )(qf, kf, vf, *basis_args)
     return o.reshape(b, h, n, d), (g, skv, sk, skkv, skk)
 
 
@@ -470,7 +545,7 @@ def _train_bwd_call_impl(q, k, v, do, o, g, skv, sk, skkv, skk,
                          z: float, p: int, chunk: int, interpret: bool):
     b, h, n, d = q.shape
     pd = _pair_dtype(q.dtype, d, interpret)
-    d2 = d * d if p == 2 else 1
+    d2 = _sym_width(d) if p == 2 else 1
     dg = d if p == 2 else 1
     nc = n // chunk
     qf = q.reshape(b * h, n, d)
@@ -488,10 +563,12 @@ def _train_bwd_call_impl(q, k, v, do, o, g, skv, sk, skkv, skk,
         pl.BlockSpec((1, d2, d), lambda bh, c: (bh, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, dg, dg), lambda bh, c: (bh, 0, 0), memory_space=pltpu.VMEM),
     ]
+    basis_args, basis_specs = _basis_inputs(d, d2, pd) if p == 2 else ([], [])
+    # basis index maps take (bh, c) like every other spec here
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, z=z, p=p, chunk=chunk, d=d, pd=pd),
         grid=(b * h, nc),
-        in_specs=[seq_spec] * 5 + [g_spec] + state_specs,
+        in_specs=[seq_spec] * 5 + [g_spec] + state_specs + basis_specs,
         out_specs=(seq_spec, seq_spec, seq_spec),
         out_shape=(
             jax.ShapeDtypeStruct((b * h, n, d), q.dtype),
@@ -517,7 +594,7 @@ def _train_bwd_call_impl(q, k, v, do, o, g, skv, sk, skkv, skk,
             vmem_limit_bytes=100 * 2**20,
         ),
         interpret=interpret,
-    )(qf, kf, vf, dof, of, g, skv, sk, skkv, skk)
+    )(qf, kf, vf, dof, of, g, skv, sk, skkv, skk, *basis_args)
     rs = lambda x: x.reshape(b, h, n, d)
     return rs(dq), rs(dk), rs(dv)
 
@@ -560,7 +637,7 @@ def fastmax_pallas(q, k, v, *, p: int = 2, normalize_term: float = 8.0,
     b, h, n, d = q.shape
     assert n % chunk == 0, (n, chunk)
     z = float(normalize_term) * math.sqrt(d)
-    d2 = d * d if p == 2 else 1
+    d2 = _sym_width(d) if p == 2 else 1
     pd = _pair_dtype(q.dtype, d, interpret)
 
     qf = q.reshape(b * h, n, d)
@@ -568,6 +645,7 @@ def fastmax_pallas(q, k, v, *, p: int = 2, normalize_term: float = 8.0,
     vf = v.reshape(b * h, n, d)
 
     grid = (b * h, n // chunk)
+    basis_args, basis_specs = _basis_inputs(d, d2, pd) if p == 2 else ([], [])
     kernel = pl.pallas_call(
         functools.partial(_kernel, z=z, p=p, chunk=chunk, d=d, pd=pd),
         grid=grid,
@@ -575,7 +653,7 @@ def fastmax_pallas(q, k, v, *, p: int = 2, normalize_term: float = 8.0,
             pl.BlockSpec((1, chunk, d), lambda bh, c: (bh, c, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, chunk, d), lambda bh, c: (bh, c, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, chunk, d), lambda bh, c: (bh, c, 0), memory_space=pltpu.VMEM),
-        ],
+        ] + basis_specs,
         out_specs=pl.BlockSpec((1, chunk, d), lambda bh, c: (bh, c, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b * h, n, d), q.dtype),
         scratch_shapes=[
@@ -592,5 +670,5 @@ def fastmax_pallas(q, k, v, *, p: int = 2, normalize_term: float = 8.0,
         ),
         interpret=interpret,
     )
-    out = kernel(qf, kf, vf)
+    out = kernel(qf, kf, vf, *basis_args)
     return out.reshape(b, h, n, d)

@@ -284,6 +284,62 @@ def _pad_cols(x2, k_pad):
     return jnp.pad(x2, ((0, 0), (0, k_pad - k)))
 
 
+def _int4_r1_kernel(lanes):
+    """Rank-1 kernel with the scale envelope FUSED: x*u on block entry,
+    out*(v/8) on the last k-step. Keeping u/v inside the kernel removes
+    two XLA fusions per matmul call — at 4 quantized matmuls x 32 layers a
+    decode step paid ~256 small-op dispatches (~2.8 us each on this chip)
+    just for the envelope (bench_results/decode_profile_r05*.jsonl)."""
+
+    def kernel(x_ref, u_ref, pw_ref, v_ref, out_ref):
+        j = pl.program_id(1)
+        nk = pl.num_programs(1)
+
+        @pl.when(j == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        x = x_ref[:].astype(jnp.float32) * u_ref[:]
+        pw = pw_ref[0, 0]
+        for p in range(8):
+            qp = (pw << (28 - 4 * p)) >> 28
+            out_ref[:, p * lanes:(p + 1) * lanes] += jnp.dot(
+                x, qp.astype(jnp.float32), preferred_element_type=jnp.float32)
+
+        @pl.when(j == nk - 1)
+        def _():
+            out_ref[:] = out_ref[:] * (v_ref[:] * 0.125)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def int4_matmul_rank1_tiled(x, u, pw_t, v, interpret: bool = False):
+    """x (M, k_pad) @ tiled-int4 -> (M, n_pad) f32 with the rank-1 scale
+    envelope applied in-kernel: y = ((x * u) @ Q) * (v / 8)."""
+    m, k_pad = x.shape
+    gk, gn, tk, _ = pw_t.shape
+    n_pad = gn * INT4_TILE_N
+    lanes = INT4_TILE_N // 8
+    return pl.pallas_call(
+        _int4_r1_kernel(lanes),
+        grid=(gn, gk),
+        in_specs=[
+            pl.BlockSpec((m, tk), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tk, 128), lambda i, j: (j, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, INT4_TILE_N), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m, INT4_TILE_N), lambda i, j: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n_pad), jnp.float32),
+        interpret=interpret,
+    )(x.astype(jnp.float32), u.reshape(1, k_pad).astype(jnp.float32), pw_t,
+      v.reshape(1, n_pad).astype(jnp.float32))
+
+
 def int4_matmul_rank1(x, p: dict, interpret: bool = False) -> jnp.ndarray:
     """Serving matmul for the rank-1 int4 format
     {"q4r1": (gk,gn,tk,128) i32, "u4": (k,) f32, "v4": (n,) f32}:
@@ -293,14 +349,18 @@ def int4_matmul_rank1(x, p: dict, interpret: bool = False) -> jnp.ndarray:
     lead = x.shape[:-1]
     x2 = x.reshape(-1, u.shape[0])
     k_pad = pw.shape[0] * pw.shape[2]
+    n_pad = pw.shape[1] * INT4_TILE_N
     if x2.shape[0] > _INT4_MAX_M:
         from .quant import dequantize
 
         return jnp.einsum("mk,kn->mn", x2, dequantize(p, x.dtype)).reshape(
             lead + (v.shape[0],)).astype(x.dtype)
-    xs = _pad_cols(x2.astype(jnp.float32) * u[None, :], k_pad)
-    y = int4_matmul_tiled(xs, pw, interpret=interpret)
-    y = y[:, : v.shape[0]] * (v[None, :] * 0.125)
+    xs = _pad_cols(x2, k_pad)
+    up = u if u.shape[0] == k_pad else jnp.pad(u, (0, k_pad - u.shape[0]))
+    vp = v if v.shape[0] == n_pad else jnp.pad(v, (0, n_pad - v.shape[0]))
+    y = int4_matmul_rank1_tiled(xs, up, pw, vp, interpret=interpret)
+    if n_pad != v.shape[0]:
+        y = y[:, : v.shape[0]]
     return y.reshape(lead + (v.shape[0],)).astype(x.dtype)
 
 

@@ -77,6 +77,31 @@ def _stage_fn(blocks_local, x, cfg: Config, cos, sin, remat):
     return x
 
 
+def pp_fsdp_param_specs(cfg: Config, params: dict, *, axis: str = "model",
+                        fsdp_axis: str = "fsdp", fsdp_size: int = 1) -> dict:
+    """Composed pipeline x ZeRO-3 specs: blocks shard the leading layer axis
+    over ``axis`` (stage placement) AND their largest divisible free dim
+    over ``fsdp_axis``; non-block leaves replicate. Pass the result as both
+    ``shard_params`` specs and ``make_pp_loss_fn(fsdp_specs=...)``."""
+
+    def walk(node, under_blocks):
+        if isinstance(node, dict):
+            return {k: walk(v, under_blocks or k == "blocks") for k, v in node.items()}
+        if under_blocks:
+            spec = [axis] + [None] * (node.ndim - 1)
+            if fsdp_size > 1:
+                best, size = None, 0
+                for i in range(1, node.ndim):
+                    if node.shape[i] % fsdp_size == 0 and node.shape[i] > size:
+                        best, size = i, node.shape[i]
+                if best is not None:
+                    spec[best] = fsdp_axis
+            return P(*spec)
+        return P()
+
+    return {k: walk(v, k == "blocks") for k, v in params.items()}
+
+
 def make_pp_loss_fn(
     cfg: Config,
     mesh: Mesh,
@@ -85,12 +110,18 @@ def make_pp_loss_fn(
     n_micro: int = 4,
     remat=True,
     max_seq_length: Optional[int] = None,
+    fsdp_specs: Optional[dict] = None,
+    fsdp_axis: str = "fsdp",
 ):
     """Pipeline-parallel LM loss over (B, T+1) batches.
 
     B must divide by ``n_micro`` and cfg.n_layer by the ``axis`` size.
     Returns loss averaged over all microbatches (identical numerics to the
     dense loss — the schedule only reorders compute).
+
+    ``fsdp_specs`` (from :func:`pp_fsdp_param_specs`) composes ZeRO-3 on
+    top: params arrive sharded over ``fsdp_axis`` too and are all-gathered
+    at stage entry.
     """
     p_size = mesh.shape[axis]
     if cfg.n_layer % p_size != 0:
@@ -103,6 +134,10 @@ def make_pp_loss_fn(
     def local_loss(params, micro_inputs, micro_targets):
         # micro_inputs/targets: (M, mb, T) replicated on every device.
         axis_name = axis
+        if fsdp_specs is not None:
+            from . import sharding as sh
+
+            params = sh.gather_fsdp_local(params, fsdp_specs, fsdp_axis)
         stage = jax.lax.axis_index(axis_name)
         m, mb, t = micro_inputs.shape
         cos = rope_cache[0][:t]
@@ -143,19 +178,28 @@ def make_pp_loss_fn(
 
         # mark the carry as device-varying over the pipe axis up front (it
         # becomes varying after the first ppermute; scan carries must have a
-        # stable vma type)
+        # stable vma type). With composed fsdp the gathered block params are
+        # varying over the fsdp axis too, so the carry must match.
+        vary_axes = (axis_name,) if fsdp_specs is None else (axis_name, fsdp_axis)
         recv0 = jax.lax.pcast(
-            jnp.zeros((mb, t, cfg.n_embd), params["wte"].dtype), axis_name,
+            jnp.zeros((mb, t, cfg.n_embd), params["wte"].dtype), vary_axes,
             to="varying",
         )
-        loss0 = jax.lax.pcast(jnp.float32(0.0), axis_name, to="varying")
+        loss0 = jax.lax.pcast(jnp.float32(0.0), vary_axes, to="varying")
         (_, loss_sum), _ = jax.lax.scan(tick, (recv0, loss0), jnp.arange(ticks))
         # only the last stage accumulated; broadcast via psum
-        return jax.lax.psum(loss_sum, axis_name) / m
+        loss = jax.lax.psum(loss_sum, axis_name) / m
+        if fsdp_specs is not None:
+            # fsdp peers computed identical values post-gather; psum/size
+            # declares the invariance to the partitioner
+            loss = jax.lax.psum(loss, fsdp_axis) / jax.lax.psum(1, fsdp_axis)
+        return loss
 
     fn = shard_map(
         local_loss, mesh=mesh,
-        in_specs=(pp_in_specs(axis), P(), P()), out_specs=P(),
+        in_specs=(fsdp_specs if fsdp_specs is not None else pp_in_specs(axis),
+                  P(), P()),
+        out_specs=P(),
     )
 
     def loss_fn(params, batch):

@@ -49,6 +49,89 @@ def make_mesh(
     return Mesh(arr, (DATA_AXIS, FSDP_AXIS, MODEL_AXIS))
 
 
+def granule_ids(devices, granule_size: int | None = None) -> list:
+    """Connectivity granule of each device: devices in the same granule share
+    fast links (ICI); different granules talk over DCN. On real TPU pods the
+    granule is the slice (``slice_index``); multi-host single-slice setups
+    fall back to ``process_index``. ``granule_size`` overrides with a
+    simulated granule width (for virtual-device dryruns, where every CPU
+    device reports process 0)."""
+    out = []
+    for i, d in enumerate(devices):
+        if granule_size:
+            out.append(i // granule_size)
+            continue
+        gid = getattr(d, "slice_index", None)
+        out.append(gid if gid is not None else d.process_index)
+    return out
+
+
+def make_hybrid_mesh(
+    data: int = 1,
+    fsdp: int = 1,
+    model: int = 1,
+    devices=None,
+    granule_size: int | None = None,
+) -> Mesh:
+    """DCN-aware hybrid mesh: the ``data`` axis spans granules (so pure-DP
+    gradient all-reduces — the only cross-granule traffic under hybrid
+    shard — ride DCN), while ``fsdp`` and ``model`` stay inside a granule
+    (per-layer all-gathers and TP psums ride ICI).
+
+    The TPU-native equivalent of the reference's
+    ``FSDPStrategy(sharding_strategy="HYBRID_SHARD")``
+    (pretrain/tinyllama.py:66): shard parameters intra-node, replicate
+    inter-node. ``make_mesh``'s flat ``reshape`` ignores physical
+    connectivity — on a multi-granule slice it can land the fsdp axis
+    *across* DCN, which is exactly backwards; this constructor orders
+    devices granule-major so mesh coordinates map onto the topology.
+
+    Requires at least ``data`` granules with ``fsdp*model`` devices each.
+    Verify placement with :func:`assert_hybrid_placement`.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    gids = granule_ids(devices, granule_size)
+    groups: dict = {}
+    for d, g in zip(devices, gids):
+        groups.setdefault(g, []).append(d)
+    ordered = sorted(groups)
+    per = fsdp * model
+    usable = [g for g in ordered if len(groups[g]) >= per]
+    if len(usable) < data:
+        raise ValueError(
+            f"hybrid mesh needs {data} granules of >= {per} devices; "
+            f"topology has {[(g, len(groups[g])) for g in ordered]} "
+            "(single-granule topologies should use make_mesh)"
+        )
+    arr = np.empty((data, fsdp, model), dtype=object)
+    for i in range(data):
+        arr[i] = np.asarray(groups[usable[i]][:per]).reshape(fsdp, model)
+    return Mesh(arr, (DATA_AXIS, FSDP_AXIS, MODEL_AXIS))
+
+
+def assert_hybrid_placement(mesh: Mesh, granule_size: int | None = None,
+                            all_devices=None) -> None:
+    """Check the hybrid invariant: each mesh.devices[i] (one data index)
+    lies inside a single granule, and distinct data indices lie in distinct
+    granules. ``granule_size``/``all_devices`` must match the values given
+    to make_hybrid_mesh (simulated granules are defined by position in the
+    full device list)."""
+    all_devices = list(all_devices if all_devices is not None else jax.devices())
+    gid_of = dict(zip(all_devices, granule_ids(all_devices, granule_size)))
+    arr = mesh.devices
+    granules_seen = []
+    for i in range(arr.shape[0]):
+        gids = {gid_of[d] for d in arr[i].ravel()}
+        assert len(gids) == 1, (
+            f"data index {i} spans granules {sorted(gids)} — fsdp/model "
+            "collectives would cross DCN"
+        )
+        granules_seen.append(gids.pop())
+    assert len(set(granules_seen)) == arr.shape[0], (
+        f"data axis reuses granules: {granules_seen}"
+    )
+
+
 def _fsdp_dim(spec: tuple, shape: tuple, fsdp_on: bool, divisor: int) -> tuple:
     """Add the fsdp axis to the largest still-unsharded, divisible dim."""
     if not fsdp_on:
@@ -147,6 +230,28 @@ def shard_params(params: dict, mesh: Mesh, specs: dict) -> dict:
         params,
         specs,
     )
+
+
+def gather_fsdp_local(params, specs, axis: str = FSDP_AXIS):
+    """Inside ``shard_map``: undo the fsdp (ZeRO-3) sharding of a param
+    pytree by all-gathering each leaf's fsdp-sharded dim (tiled) — the
+    manual counterpart of GSPMD's per-layer all-gather, used by the
+    composed shard_map training modes (sequence_parallel, pipeline) where
+    params arrive as explicit local shards."""
+
+    def g(x, spec):
+        for d, names in enumerate(tuple(spec)):
+            group = names if isinstance(names, tuple) else (names,)
+            if axis in group:
+                return jax.lax.all_gather(x, axis, axis=d, tiled=True)
+        return x
+
+    def walk(p, s):
+        if isinstance(p, dict):
+            return {k: walk(v, s[k]) for k, v in p.items()}
+        return g(p, s)
+
+    return walk(params, specs)
 
 
 def kv_cache_specs(cfg: Config, *, tp: bool = True) -> dict:

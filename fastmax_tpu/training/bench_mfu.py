@@ -60,6 +60,7 @@ def run(
     iters: int = 10,
     lm_head_chunk: int = 128,
     unroll: int = 1,
+    accum: int = 1,
     trace_dir: Optional[str] = None,
 ) -> dict:
     """Measure train-step MFU. fsdp=0 means shard over all visible devices
@@ -109,8 +110,31 @@ def run(
     optimizer_tx = optax.chain(optax.clip_by_global_norm(1.0), inner)
     opt_state = optimizer_tx.init(params)
 
+    if micro_batch % accum:
+        raise ValueError(f"micro_batch {micro_batch} must divide by accum={accum}")
+
     def step(params, opt_state, batch):
-        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+        # accum > 1: gradient accumulation over accum sub-micro-batches (the
+        # reference's fabric.no_backward_sync pattern, finetune/lora.py:
+        # 214-220) — same tokens per optimizer step at 1/accum the
+        # activation memory, which lets remat="dots"/"dots_attn" fit where
+        # the full micro-batch OOMs
+        if accum == 1:
+            loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+        else:
+            chunks = batch.reshape(accum, batch.shape[0] // accum, batch.shape[1])
+
+            def acc_body(carry, chunk):
+                tl, tg = carry
+                l, g = jax.value_and_grad(loss_fn)(params, chunk)
+                return (tl + l, jax.tree.map(jnp.add, tg, g)), None
+
+            zeros = jax.tree.map(jnp.zeros_like, params)
+            (loss_sum, gsum), _ = jax.lax.scan(
+                acc_body, (jnp.float32(0), zeros), chunks
+            )
+            loss = loss_sum / accum
+            grads = jax.tree.map(lambda g: g / accum, gsum)
         updates, opt_state = optimizer_tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
@@ -165,6 +189,7 @@ def run(
         "unroll": unroll,
         "lm_head_chunk": lm_head_chunk,
         "optimizer": optimizer,
+        "accum": accum,
         "attn_alg": cfg.attn_alg,
         "devices": n_dev,
         "device_kind": kind,

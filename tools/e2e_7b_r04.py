@@ -126,10 +126,10 @@ def phase_serve() -> None:
     emit("load_stream_quantize_int4", seconds=round(load_s, 1))
 
     t0 = time.time()
-    # "quantized": serve the streamed tiled-int4 leaves natively (the
-    # default "auto" would re-represent 4-bit checkpoints as int8 — wider
-    # AND slower than the int4 kernels on this chip, measured 64.9 vs
-    # 84.1 tok/s in the r04 logs)
+    # "quantized" serves the streamed tiled-int4 leaves natively. Since
+    # the r04 auto-mode change (engine.py _resolve_weights) "auto" keeps
+    # q4r1/q4b leaves native too, so the two modes behave identically
+    # here; "quantized" is kept as the explicit, future-proof choice.
     eng = InferenceEngine(cfg, params, max_seq_length=256, batch_size=1,
                           weights_mode="quantized", cache_dtype=jnp.int8)
     prompt = jnp.asarray(np.arange(1, 33), jnp.int32)

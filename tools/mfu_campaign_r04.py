@@ -58,7 +58,9 @@ def leg_inprocess(arm: str, args) -> dict:
         return bench_mfu.run(
             model_name=args.model_name, seq_len=args.seq_len,
             micro_batch=args.micro_batch, iters=args.iters,
-            attn_alg=attn_alg, remat=args.remat,
+            attn_alg=attn_alg, remat=args.remat, accum=args.accum,
+            lm_head_chunk=args.lm_head_chunk, unroll=args.unroll,
+            optimizer=args.optimizer,
         )
     except Exception as e:  # TPU faults surface as runtime errors
         return {"error": f"{type(e).__name__}: {e}"[:300]}
@@ -69,7 +71,9 @@ def leg_subprocess(arm: str, args) -> dict:
     cmd = [sys.executable, "-m", "fastmax_tpu.training.bench_mfu",
            "--model_name", args.model_name, "--seq_len", str(args.seq_len),
            "--micro_batch", str(args.micro_batch), "--iters", str(args.iters),
-           "--remat", args.remat]
+           "--remat", args.remat, "--accum", str(args.accum),
+           "--lm_head_chunk", str(args.lm_head_chunk),
+           "--unroll", str(args.unroll), "--optimizer", args.optimizer]
     if arm in QUAD_ARMS:
         env["FASTMAX_TPU_TRAIN_ATTN"] = arm
     elif arm in FASTMAX_ARMS:
@@ -102,6 +106,10 @@ def main() -> None:
                     help="alternating rounds; each round runs every arm once")
     ap.add_argument("--arms", default="flash2,blockwise")
     ap.add_argument("--remat", default="full")
+    ap.add_argument("--accum", type=int, default=1)
+    ap.add_argument("--lm_head_chunk", type=int, default=128)
+    ap.add_argument("--unroll", type=int, default=1)
+    ap.add_argument("--optimizer", default="adamw")
     ap.add_argument("--isolate", action="store_true",
                     help="run every leg in its own subprocess")
     ap.add_argument("--leg_timeout", type=int, default=900)
