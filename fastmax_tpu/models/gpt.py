@@ -166,27 +166,34 @@ def _dequantize_kv(codes: jnp.ndarray, scale: jnp.ndarray, dtype) -> jnp.ndarray
 # --------------------------------------------------------------------------
 
 
-def apply_mlp(p: dict, x: jnp.ndarray, cfg: Config) -> jnp.ndarray:
+def apply_mlp(p: dict, x: jnp.ndarray, cfg: Config, layer=None) -> jnp.ndarray:
+    """``layer`` selects stacked-weights mode (see ops/linear.linear)."""
     name = cfg.mlp_class_name
     if name == "GptNeoxMLP":
-        h = linear(p["fc"], x)
+        h = linear(p["fc"], x, layer)
         h = jax.nn.gelu(h, approximate=cfg.gelu_approximate == "tanh")
-        return linear(p["proj"], h)
+        return linear(p["proj"], h, layer)
     if name == "LLaMAMLP":
         if "fc_12" in p:
             # fused gate+up: one matmul of [fc_1 | fc_2] (inference layout,
             # see InferenceEngine.prepare_params) — halves the MLP-up kernel
             # count, which matters at decode where each matmul is launch- and
             # bandwidth-granularity-bound
-            h1, h2 = jnp.split(linear(p["fc_12"], x), 2, axis=-1)
-            return linear(p["proj"], jax.nn.silu(h1) * h2)
-        return linear(p["proj"], jax.nn.silu(linear(p["fc_1"], x)) * linear(p["fc_2"], x))
+            h1, h2 = jnp.split(linear(p["fc_12"], x, layer), 2, axis=-1)
+            return linear(p["proj"], jax.nn.silu(h1) * h2, layer)
+        return linear(p["proj"], jax.nn.silu(linear(p["fc_1"], x, layer))
+                      * linear(p["fc_2"], x, layer), layer)
     if name == "GemmaMLP":
         if "fc_12" in p:
-            h1, h2 = jnp.split(linear(p["fc_12"], x), 2, axis=-1)
-            return linear(p["proj"], jax.nn.gelu(h1, approximate=False) * h2)
-        return linear(p["proj"], jax.nn.gelu(linear(p["fc_1"], x), approximate=False) * linear(p["fc_2"], x))
+            h1, h2 = jnp.split(linear(p["fc_12"], x, layer), 2, axis=-1)
+            return linear(p["proj"], jax.nn.gelu(h1, approximate=False) * h2, layer)
+        return linear(p["proj"], jax.nn.gelu(linear(p["fc_1"], x, layer), approximate=False)
+                      * linear(p["fc_2"], x, layer), layer)
     if name == "LLaMAMoE":
+        if layer is not None:
+            p = jax.tree.map(
+                lambda a: jax.lax.dynamic_index_in_dim(a, layer, 0, keepdims=False), p
+            )
         return apply_moe(p, x, cfg)
     raise ValueError(name)
 
@@ -259,6 +266,7 @@ def apply_attn(
     kv_cache: Optional[Tuple[jnp.ndarray, jnp.ndarray]],
     input_pos: Optional[jnp.ndarray],
     layer: Optional[jnp.ndarray] = None,
+    stacked_weights: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
     """Fused-QKV grouped attention (ref model.py:380-458).
 
@@ -275,7 +283,7 @@ def apply_attn(
     hs, g = cfg.head_size, cfg.n_query_groups
     q_per_kv = cfg.n_head // g
 
-    qkv = linear(p["attn"], x)  # (B, T, (n_head + 2*G) * hs)
+    qkv = linear(p["attn"], x, layer if stacked_weights else None)  # (B, T, (n_head+2G)*hs)
     qkv = qkv.reshape(b, t, g, q_per_kv + 2, hs)
     q = qkv[..., :q_per_kv, :]  # (B, T, G, q_per_kv, hs)
     k = qkv[..., q_per_kv, :]  # (B, T, G, hs)
@@ -387,7 +395,8 @@ def apply_attn(
                         q, this_layer(k_cache), this_layer(v_cache),
                         this_layer(ks), this_layer(vs), mask=mask, scale=hs ** -0.5
                     )
-                y = _finish_attn(p, y, x, cfg, q, b, t, hs)
+                y = _finish_attn(p, y, x, cfg, q, b, t, hs,
+                                 layer if stacked_weights else None)
                 return y, new_cache
             # prefill (t > 1, one-time) and the linear algorithms read a
             # dense cache: dequantize once
@@ -426,22 +435,27 @@ def apply_attn(
             mask=mask,
             is_decode=kv_cache is not None,
         )
-    return _finish_attn(p, y, x, cfg, q, b, t, hs), new_cache
+    return _finish_attn(p, y, x, cfg, q, b, t, hs,
+                        layer if stacked_weights else None), new_cache
 
 
-def _finish_attn(p, y, x, cfg, q, b, t, hs):
+def _finish_attn(p, y, x, cfg, q, b, t, hs, layer=None):
     """Adapter prefix + head merge + output projection (shared tail)."""
     if "adapter" in p and cfg.attn_alg == "quadratic":
         # LLaMA-Adapter prefix attention (models/adapter.py); the reference
         # likewise only applies it on the SDPA path (adapter.py:119-149)
+        from ..ops.linear import slice_layer
+
+        ap, aw = ((slice_layer(p["adapter"], layer), slice_layer(p["attn"], layer))
+                  if layer is not None else (p["adapter"], p["attn"]))
         from .adapter import apply_adapter_attention
 
-        y = y + apply_adapter_attention(p["adapter"], p["attn"], q, cfg, hs ** -0.5)
+        y = y + apply_adapter_attention(ap, aw, q, cfg, hs ** -0.5)
     y = y.transpose(0, 2, 1, 3).reshape(b, t, hs * cfg.n_head)
     # attention math may run in a wider dtype (f32 cache/softmax); keep the
     # residual stream in the activation dtype
     y = y.astype(x.dtype)
-    return linear(p["proj"], y)
+    return linear(p["proj"], y, layer)
 
 
 def apply_block(bp, x, cfg, cos, sin, mask, kv_cache, input_pos, attn_fn=None,
@@ -450,22 +464,41 @@ def apply_block(bp, x, cfg, cos, sin, mask, kv_cache, input_pos, attn_fn=None,
     overrides the attention computation (used by the sequence-parallel mode
     to substitute ring attention while sharing the residual/MLP wiring);
     ``mlp_fn(mlp_params, n2) -> y`` likewise overrides the MLP (used by the
-    composed TP mode to psum the rowwise projection's partial output)."""
-    n1 = apply_norm(x, bp["norm_1"], cfg.norm_class_name, cfg.norm_eps, cfg.add_unit_offset)
+    composed TP mode to psum the rowwise projection's partial output).
+
+    ``layer`` selects STACKED mode: ``bp`` holds the FULL (n_layer,)-stacked
+    block weights and ``kv_cache`` (if any) the full stacked cache; this
+    call computes block ``layer``. The cached forward uses it so that
+    neither the weights nor the cache are sliced per scan iteration
+    (both slicings materialize copies — see forward())."""
+    stacked = layer is not None
+
+    def norm_p(np_):
+        if not stacked:
+            return np_
+        from ..ops.linear import slice_layer
+
+        return slice_layer(np_, layer)
+
+    n1 = apply_norm(x, norm_p(bp["norm_1"]), cfg.norm_class_name, cfg.norm_eps,
+                    cfg.add_unit_offset)
     if attn_fn is not None:
         h, new_cache = attn_fn(bp["attn"], n1)
     else:
         h, new_cache = apply_attn(bp["attn"], n1, cfg, cos, sin, mask, kv_cache,
-                                  input_pos, layer=layer)
-    mlp = mlp_fn if mlp_fn is not None else (lambda mp, n2: apply_mlp(mp, n2, cfg))
+                                  input_pos, layer=layer, stacked_weights=stacked)
+    mlp = mlp_fn if mlp_fn is not None else (
+        lambda mp, n2: apply_mlp(mp, n2, cfg, layer))
     if cfg.parallel_residual:
         n2 = n1 if cfg.shared_attention_norm else apply_norm(
-            x, bp["norm_2"], cfg.norm_class_name, cfg.norm_eps, cfg.add_unit_offset
+            x, norm_p(bp["norm_2"]), cfg.norm_class_name, cfg.norm_eps,
+            cfg.add_unit_offset
         )
         x = mlp(bp["mlp"], n2) + h + x
     else:
         x = h + x
-        n2 = apply_norm(x, bp["norm_2"], cfg.norm_class_name, cfg.norm_eps, cfg.add_unit_offset)
+        n2 = apply_norm(x, norm_p(bp["norm_2"]), cfg.norm_class_name, cfg.norm_eps,
+                        cfg.add_unit_offset)
         x = mlp(bp["mlp"], n2) + x
     return x, new_cache
 
@@ -592,16 +625,17 @@ def forward(
         # measured 1.75 ms/token at 7B S=1024 vs 0.34 ms for the carry form
         # (the single largest decode overhead found in r05).
 
-        def body(carry, scanned):
+        blocks = params["blocks"]
+
+        def body(carry, l):
             y, cache = carry
-            bp, l = scanned
-            y, cache = apply_block(bp, y, cfg, cos, sin, mask, cache, input_pos,
-                                   layer=l)
+            y, cache = apply_block(blocks, y, cfg, cos, sin, mask, cache,
+                                   input_pos, layer=l)
             return (y, cache), None
 
         (x, new_cache), _ = jax.lax.scan(
             body, (x, kv_cache),
-            (params["blocks"], jnp.arange(cfg.n_layer, dtype=jnp.int32)),
+            jnp.arange(cfg.n_layer, dtype=jnp.int32),
             unroll=unroll,
         )
     else:
@@ -800,7 +834,17 @@ def forward_hidden(
 
     ``unroll``: layer-scan unroll factor — gives XLA >1 block bodies per scan
     iteration to fuse/overlap across (a per-op-overhead lever; numerics are
-    unchanged)."""
+    unchanged).
+
+    Mixed-policy remat ``"<light>@<N>:<heavy>"`` (e.g. ``"dots@8:full"``):
+    the FIRST N layers run under the lighter policy (saving their matmul
+    outputs), the rest under the heavy one — the memory-graded middle
+    ground when the light policy alone does not fit the chip. Each saved
+    layer removes its forward recompute from the backward, so the step's
+    recompute factor falls from (fwd+fwd+2fwd)/4fwd toward 3/4
+    proportionally to N. Gradient-accumulation-free, unlike the accum
+    route (measured r05: accum's grad-buffer traffic cost more than the
+    recompute it saved)."""
     rope_cache = build_rope_cache(
         cfg.block_size, cfg.rope_n_elem, cfg.rope_base, cfg.rope_condense_ratio
     )
@@ -814,6 +858,17 @@ def forward_hidden(
         y, _ = apply_block(bp, carry, cfg, cos, sin, None, None, None)
         return y, None
 
-    body = _remat_wrap(body, remat)
-    x, _ = jax.lax.scan(body, x, params["blocks"], unroll=unroll)
+    if isinstance(remat, str) and "@" in remat:
+        light, rest = remat.split("@", 1)
+        n_s, heavy = rest.split(":", 1)
+        n_light = int(n_s)
+        body_light = _remat_wrap(body, light)
+        body_heavy = _remat_wrap(body, heavy)
+        first = jax.tree.map(lambda a: a[:n_light], params["blocks"])
+        second = jax.tree.map(lambda a: a[n_light:], params["blocks"])
+        x, _ = jax.lax.scan(body_light, x, first, unroll=unroll)
+        x, _ = jax.lax.scan(body_heavy, x, second, unroll=unroll)
+    else:
+        body = _remat_wrap(body, remat)
+        x, _ = jax.lax.scan(body, x, params["blocks"], unroll=unroll)
     return apply_norm(x, params["ln_f"], cfg.norm_class_name, cfg.norm_eps, cfg.add_unit_offset)

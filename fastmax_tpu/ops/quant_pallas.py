@@ -5,24 +5,30 @@ kernel at speed-of-light per chip"; reference role: bitsandbytes' CUDA
 dequant kernels fused into decode matmuls, generate/base.py:129-134).
 
 Decode is weight-bandwidth-bound, so the figure of merit is
-**dense-params-served per second** = k*n / wall-time. Measured on v5e
-(tools/nf4_lab_r04.py, committed in bench_results/nf4_lab_r04*.jsonl and
-docs/perf.md):
+**dense-params-served per second** = k*n / wall-time. Measured on v5e with
+the r05 differential-timing protocol (tools/int4_opt_r05.py — the r04
+figures divided a ~25 ms tunnel RTT over 40 iterations and understated
+every kernel; bench_results/int4_opt_r05b.jsonl is the honest record):
 
   bf16 dense (XLA)              ~365 G params/s   (2 B/param @ ~730 GB/s)
   int8 fused (XLA)              ~710 G params/s   (1 B/param, convert-in-dot)
-  exact NF4 (this file)         ~150 G params/s   (VPU select-bound, see below)
-  int4 blockwise (this file)    ~620 G params/s   (0.56 B/param)
-  int4 rank-1  (this file)      ~800 G params/s   (0.50 B/param) <- fastest
+  exact NF4 (this file)         ~150 G params/s   (VPU select-bound, below)
+  int4 rank-1  (this file)   1100-1460 G params/s (0.50 B/param, 550-730
+                                GB/s read at 7B shapes) <- fastest
 
-Speed-of-light analysis (v5e: ~819 GB/s HBM, VPU ~4e12 elementwise ops/s,
-Pallas streaming ceiling measured 609 GB/s on tiled layouts): at B bytes/
-param and V VPU-ops/weight the kernel serves min(BW/B, VPU/V) params/s.
-An exact NF4 codebook lookup costs >=15 selects+masks per weight (binary
-tree over 16 arbitrary float values), capping it at ~260 G params/s no
-matter how it is tiled — the TPU VPU has no per-element table-gather at
-rate, unlike the CUDA LOP3-based dequant the reference leans on. The fast
-TPU-native representations therefore make dequant LINEAR:
+Speed-of-light analysis (v5e: ~819 GB/s HBM, VPU ~4e12 elementwise ops/s):
+at B bytes/param and V VPU-ops/weight the kernel serves min(BW/B, VPU/V)
+params/s. The rank-1 kernel (3 VPU ops/weight: two shifts + convert,
+pipelined against the DMA) runs at 67-89% of physical HBM bandwidth — at
+kernel scope it is essentially AT the streaming ceiling; remaining decode
+headroom is in the step around it (see decode_profile_r05*.jsonl). An
+exact NF4 codebook lookup costs ~15 selects + ~8 bit-mask/compare +
+extraction ops per weight (binary tree over 16 arbitrary float values),
+capping it at ~170-190 G params/s no matter how it is tiled — the TPU VPU
+has no per-element table-gather at rate, unlike the CUDA LOP3-based
+dequant the reference leans on. (The r04 header's "~260" ceiling counted
+only the selects.) The fast TPU-native representations therefore make
+dequant LINEAR:
 
   * int4 blockwise:  w = (q-8)/8 * absmax[k-block, n]  (5 VPU ops/weight)
   * int4 rank-1:     w = (q-8)/8 * u[k] * v[n]         (3 VPU ops/weight)
@@ -338,6 +344,104 @@ def int4_matmul_rank1_tiled(x, u, pw_t, v, interpret: bool = False):
         interpret=interpret,
     )(x.astype(jnp.float32), u.reshape(1, k_pad).astype(jnp.float32), pw_t,
       v.reshape(1, n_pad).astype(jnp.float32))
+
+
+def _int4_r1_stacked_kernel(lanes):
+    """Rank-1 kernel over layer ``l`` of the STACKED weights (scalar
+    prefetch selects the layer in the index maps). Exists because the
+    decode layer scan cannot slice a 25 MB weight leaf into a pallas
+    operand without materializing a copy — measured r05 at 7B: the
+    matmul-only scan ran at 404 GB/s effective vs ~620 GB/s for the same
+    kernels on unstacked weights (decode_profile_r05f.jsonl, mm_scan).
+    Reading the stack directly through prefetched index maps removes the
+    copy the same way the stacked KV-cache attention kernel does."""
+
+    def kernel(scalar_ref, x_ref, u_ref, pw_ref, v_ref, out_ref):
+        del scalar_ref
+        j = pl.program_id(1)
+        nk = pl.num_programs(1)
+
+        @pl.when(j == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        x = x_ref[:].astype(jnp.float32) * u_ref[0]
+        pw = pw_ref[0, 0, 0]
+        for p in range(8):
+            qp = (pw << (28 - 4 * p)) >> 28
+            out_ref[:, p * lanes:(p + 1) * lanes] += jnp.dot(
+                x, qp.astype(jnp.float32), preferred_element_type=jnp.float32)
+
+        @pl.when(j == nk - 1)
+        def _():
+            out_ref[:] = out_ref[:] * (v_ref[0] * 0.125)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def int4_matmul_rank1_tiled_stacked(x, u_all, pw_all, v_all, layer,
+                                    interpret: bool = False):
+    """x (M, k_pad) @ layer ``layer`` of stacked tiled-int4 weights.
+
+    u_all: (L, 1, k_pad) f32; pw_all: (L, gk, gn, tk, 128) i32;
+    v_all: (L, 1, n_pad) f32; layer: scalar int32. Returns (M, n_pad) f32
+    with the rank-1 envelope applied in-kernel.
+    """
+    m, k_pad = x.shape
+    n_layer, gk, gn, tk, _ = pw_all.shape
+    n_pad = gn * INT4_TILE_N
+    lanes = INT4_TILE_N // 8
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(gn, gk),
+        in_specs=[
+            pl.BlockSpec((m, tk), lambda i, j, sref: (0, j)),
+            pl.BlockSpec((1, 1, tk), lambda i, j, sref: (sref[0], 0, j)),
+            pl.BlockSpec((1, 1, 1, tk, 128),
+                         lambda i, j, sref: (sref[0], j, i, 0, 0)),
+            pl.BlockSpec((1, 1, INT4_TILE_N), lambda i, j, sref: (sref[0], 0, i)),
+        ],
+        out_specs=pl.BlockSpec((m, INT4_TILE_N), lambda i, j, sref: (0, i)),
+    )
+    return pl.pallas_call(
+        _int4_r1_stacked_kernel(lanes),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m, n_pad), jnp.float32),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1), x.astype(jnp.float32),
+      u_all, pw_all, v_all)
+
+
+def int4_matmul_rank1_stacked(x, p: dict, layer, interpret: bool = False):
+    """Serving matmul for STACKED rank-1 int4 params (leading n_layer axis
+    on every leaf): y = ((x * u[l]) @ Q[l]) * (v[l]/8).
+
+    The u/v pads below are pure functions of the (loop-constant) weights,
+    so XLA hoists them out of the decode loop — they run once per traced
+    call, not per token/layer.
+    """
+    pw = p["q4r1"]  # (L, gk, gn, tk, 128)
+    u, v = p["u4"], p["v4"]  # (L, k), (L, n)
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, u.shape[1])
+    n_layer, gk, gn, tk, _ = pw.shape
+    k_pad, n_pad = gk * tk, gn * INT4_TILE_N
+    if x2.shape[0] > _INT4_MAX_M:
+        from .quant import dequantize
+
+        pl_ = {"q4r1": pw[layer], "u4": u[layer], "v4": v[layer]}
+        return jnp.einsum("mk,kn->mn", x2, dequantize(pl_, x.dtype)).reshape(
+            lead + (v.shape[1],)).astype(x.dtype)
+    xs = _pad_cols(x2, k_pad)
+    up = u if u.shape[1] == k_pad else jnp.pad(u, ((0, 0), (0, k_pad - u.shape[1])))
+    vp = v if v.shape[1] == n_pad else jnp.pad(v, ((0, 0), (0, n_pad - v.shape[1])))
+    y = int4_matmul_rank1_tiled_stacked(
+        xs, up.reshape(n_layer, 1, k_pad), pw, vp.reshape(n_layer, 1, n_pad),
+        layer, interpret=interpret)
+    if n_pad != v.shape[1]:
+        y = y[:, : v.shape[1]]
+    return y.reshape(lead + (v.shape[1],)).astype(x.dtype)
 
 
 def int4_matmul_rank1(x, p: dict, interpret: bool = False) -> jnp.ndarray:

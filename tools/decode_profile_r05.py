@@ -132,6 +132,61 @@ def main():
                     return c + (1e-30 * jnp.sum(logits)).astype(c.dtype)
 
                 dt = diff_time(step, jnp.int32(0), eng.params, lo=10, hi=40)
+            elif v == "mm_scan":
+                # matmuls-only layer scan: isolates stacked-weight slicing +
+                # Pallas kernel time from norms/rope/attention/cache. If this
+                # alone reaches most of fwd_nokv, the gap is weight-side
+                # (scan slicing), not the small ops between kernels.
+                from fastmax_tpu.ops.linear import linear
+
+                eng = get_engine(jnp.int8)
+
+                def layer(x, bp):
+                    a = bp["attn"]
+                    qkv = linear(a["attn"], x)
+                    h = qkv[:, : x.shape[-1]]
+                    o = linear(a["proj"], h)
+                    m = bp["mlp"]
+                    up = linear(m["fc_12"], o)
+                    h1, h2 = jnp.split(up, 2, axis=-1)
+                    return linear(m["proj"], jax.nn.silu(h1) * h2)
+
+                def step(c, i, blocks):
+                    def body(carry, bp):
+                        return layer(carry, bp).astype(carry.dtype), None
+
+                    y, _ = jax.lax.scan(body, c, blocks)
+                    return y * 1e-30 + c
+
+                x0 = jnp.ones((1, 4096), jnp.bfloat16)
+                dt = diff_time(step, x0, eng.params["blocks"], lo=10, hi=40)
+            elif v == "mm_unroll":
+                # same matmul chain, python-unrolled with STATIC layer
+                # indices: if this returns to isolated-kernel speed, the
+                # cost is lax.scan's dynamic weight slicing
+                from fastmax_tpu.ops.linear import linear
+
+                eng = get_engine(jnp.int8)
+
+                def layer(x, bp):
+                    a = bp["attn"]
+                    qkv = linear(a["attn"], x)
+                    h = qkv[:, : x.shape[-1]]
+                    o = linear(a["proj"], h)
+                    m = bp["mlp"]
+                    up = linear(m["fc_12"], o)
+                    h1, h2 = jnp.split(up, 2, axis=-1)
+                    return linear(m["proj"], jax.nn.silu(h1) * h2)
+
+                def step(c, i, blocks):
+                    y = c
+                    for l in range(32):
+                        bp = jax.tree.map(lambda a: a[l], blocks)
+                        y = layer(y, bp).astype(c.dtype)
+                    return y * 1e-30 + c
+
+                x0 = jnp.ones((1, 4096), jnp.bfloat16)
+                dt = diff_time(step, x0, eng.params["blocks"], lo=10, hi=40)
             else:
                 if v == "fwd_bf16":
                     eng = get_engine(jnp.bfloat16)
@@ -162,3 +217,4 @@ def main():
 
 if __name__ == "__main__":
     main()
+

@@ -29,12 +29,32 @@ import numpy as np
 FAILED = []
 
 
-def check(name: str, got, want, atol, rtol=1e-3):
-    got = np.asarray(got)
-    want = np.asarray(want)
-    err = np.max(np.abs(got - want) / (np.abs(want) + atol))
-    ok = np.allclose(got, want, atol=atol, rtol=rtol)
-    print(f"  parity {name}: max_rel_err={err:.2e} -> {'OK' if ok else 'FAIL'}")
+def check(name: str, got, want, *, norm_bound: float, rel_bound: float,
+          why: str = ""):
+    """Two-metric gate with per-kernel documented bounds (r04 verdict
+    weak #6: a bare `max_rel_err=1.27e-01 -> OK` — bf16 noise on
+    near-zero elements — would also have passed a real bug).
+
+    norm:  max|got-want| / max|want|   (scale-free absolute error)
+    rel:   max relative error over elements with |want| >= 5% of max|want|
+           (excludes the near-zero entries whose relative error is pure
+           operand-rounding noise)
+
+    Both bounds are hard gates — a regression fails the check.
+    """
+    got = np.asarray(got, np.float64)
+    want = np.asarray(want, np.float64)
+    abs_err = np.max(np.abs(got - want))
+    ref_mag = max(float(np.max(np.abs(want))), 1e-30)
+    norm_err = abs_err / ref_mag
+    mask = np.abs(want) >= 0.05 * ref_mag
+    rel_err = float(np.max(np.abs(got[mask] - want[mask]) / np.abs(want[mask]))) \
+        if mask.any() else 0.0
+    ok = norm_err <= norm_bound and rel_err <= rel_bound
+    print(f"  parity {name}: max_abs={abs_err:.2e} "
+          f"norm={norm_err:.2e}(<= {norm_bound:g}) "
+          f"rel@|ref|>=5%max={rel_err:.2e}(<= {rel_bound:g}) "
+          f"-> {'OK' if ok else 'FAIL'}" + (f"  [{why}]" if why else ""))
     if not ok:
         FAILED.append(name)
 
@@ -77,7 +97,9 @@ def main():
 
     ref = scaled_dot_product_attention(q, k, v, is_causal=True)
     t_fl, out = timeit("flash fwd 2x8x2048x64", lambda: flash_attention(q, k, v))
-    check("flash fwd", out.astype(jnp.float32), ref.astype(jnp.float32), atol=2e-2)
+    check("flash fwd", out.astype(jnp.float32), ref.astype(jnp.float32),
+          norm_bound=2e-2, rel_bound=2e-2,
+          why="bf16 operands (2^-8 per op) through a T/128-deep online softmax")
     t_xla, _ = timeit("xla sdpa same shape",
                       lambda: scaled_dot_product_attention(q, k, v, is_causal=True))
 
@@ -101,7 +123,9 @@ def main():
     t_gb, gb = timeit("blockwise fwd+bwd", gblock, q, k, v, iters=4)
     for name, a, bb in zip(("dq", "dk", "dv"), gf, gb):
         check(f"flash bwd {name}", a.astype(jnp.float32), bb.astype(jnp.float32),
-              atol=5e-2, rtol=5e-2)
+              norm_bound=3e-2, rel_bound=5e-2,
+              why="two independent bf16 backwards (flash vs blockwise); "
+                  "5-matmul chain doubles the fwd rounding depth")
 
     # ---------------- fastmax pallas trainable -----------------------------
     print("[fastmax_pallas_trainable fwd+bwd, p=2]")
@@ -124,13 +148,17 @@ def main():
     t_pf, out2 = timeit("fastmax pallas fwd",
                         jax.jit(lambda q, k, v: fastmax_pallas_trainable(
                             q, k, v, 2, 8.0, 128, False)), q2, k2, v2, iters=4)
-    check("fastmax pallas fwd", out2, ref2, atol=2e-3)
+    check("fastmax pallas fwd", out2, ref2, norm_bound=2e-3, rel_bound=1e-2,
+          why="bf16 pairwise-expansion operands at d=64 (f32 accumulation); "
+              "output is the normalized f/g ratio, O(1)")
     gpal = jax.jit(jax.grad(loss_pal, argnums=(0, 1, 2)))
     gscan = jax.jit(jax.grad(loss_scan, argnums=(0, 1, 2)))
     t_pg, gp = timeit("fastmax pallas fwd+bwd", gpal, q2, k2, v2, iters=4)
     t_sg, gs = timeit("fastmax scan fwd+bwd", gscan, q2, k2, v2, iters=4)
     for name, a, bb in zip(("dq", "dk", "dv"), gp, gs):
-        check(f"fastmax bwd {name}", a, bb, atol=1e-2, rtol=1e-2)
+        check(f"fastmax bwd {name}", a, bb, norm_bound=1e-2, rel_bound=2e-2,
+              why="reverse-walk bf16 pair ops vs f32 scan; state rewind adds "
+                  "one subtract of rounding depth per chunk")
 
     # ---------------- fused NF4 matmul -------------------------------------
     print("[quantized_matmul_pallas]")
@@ -147,7 +175,9 @@ def main():
     t_qx, _ = timeit("nf4 xla matmul same",
                      jax.jit(lambda x: quant.quantized_matmul(x, p4)), x, iters=8)
     check("nf4 matmul", y.astype(jnp.float32), y_ref.astype(jnp.float32),
-          atol=5e-2, rtol=5e-2)
+          norm_bound=2e-2, rel_bound=2e-2,
+          why="XLA reference rounds dequantized weights to bf16; the kernel "
+              "dots exact f32 codebook values (kernel is the tighter side)")
 
     print()
     if FAILED:
