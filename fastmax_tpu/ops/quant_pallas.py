@@ -144,6 +144,13 @@ def nf4_matmul(x: jnp.ndarray, packed: jnp.ndarray, absmax: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec((m, TILE_N), lambda i, j: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            # prefill m up to 128 with whole-k tiles needs more than the
+            # 16 MB scoped-VMEM default (13B: (64, 13824) f32 x-block +
+            # 7 MB weight block, double-buffered); v5e has 128 MB physical
+            vmem_limit_bytes=100 * 2**20,
+        ),
         interpret=interpret,
     )
     return kernel(code.reshape(1, 16).astype(jnp.float32), x_even, x_odd, packed, absmax)
@@ -279,6 +286,13 @@ def int4_matmul_tiled(x, pw_t, s_t=None, interpret: bool = False):
         out_specs=pl.BlockSpec((m, INT4_TILE_N), lambda i, j: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            # prefill m up to 128 with whole-k tiles needs more than the
+            # 16 MB scoped-VMEM default (13B: (64, 13824) f32 x-block +
+            # 7 MB weight block, double-buffered); v5e has 128 MB physical
+            vmem_limit_bytes=100 * 2**20,
+        ),
         interpret=interpret,
     )(*args)
 
@@ -341,6 +355,13 @@ def int4_matmul_rank1_tiled(x, u, pw_t, v, interpret: bool = False):
         out_specs=pl.BlockSpec((m, INT4_TILE_N), lambda i, j: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            # prefill m up to 128 with whole-k tiles needs more than the
+            # 16 MB scoped-VMEM default (13B: (64, 13824) f32 x-block +
+            # 7 MB weight block, double-buffered); v5e has 128 MB physical
+            vmem_limit_bytes=100 * 2**20,
+        ),
         interpret=interpret,
     )(x.astype(jnp.float32), u.reshape(1, k_pad).astype(jnp.float32), pw_t,
       v.reshape(1, n_pad).astype(jnp.float32))
@@ -408,6 +429,13 @@ def int4_matmul_rank1_tiled_stacked(x, u_all, pw_all, v_all, layer,
         _int4_r1_stacked_kernel(lanes),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((m, n_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            # prefill m up to 128 with whole-k tiles needs more than the
+            # 16 MB scoped-VMEM default (13B: (64, 13824) f32 x-block +
+            # 7 MB weight block, double-buffered); v5e has 128 MB physical
+            vmem_limit_bytes=100 * 2**20,
+        ),
         interpret=interpret,
     )(jnp.asarray(layer, jnp.int32).reshape(1), x.astype(jnp.float32),
       u_all, pw_all, v_all)
