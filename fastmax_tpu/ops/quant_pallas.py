@@ -455,7 +455,12 @@ def int4_matmul_rank1_stacked(x, p: dict, layer, interpret: bool = False):
     x2 = x.reshape(-1, u.shape[1])
     n_layer, gk, gn, tk, _ = pw.shape
     k_pad, n_pad = gk * tk, gn * INT4_TILE_N
-    if x2.shape[0] > _INT4_MAX_M:
+    # prefill-sized m runs through the kernel too (the x block must fit
+    # VMEM beside the weight block: m*tk*4 bytes, double-buffered, against
+    # the 100 MB scope — 512 rows covers every chunked-prefill size at 13B
+    # tk=13824); beyond that, fall back to the XLA dequantize path
+    m_max = max(_INT4_MAX_M, min(512, (28 * 2**20) // (tk * 4)))
+    if x2.shape[0] > m_max:
         from .quant import dequantize
 
         pl_ = {"q4r1": pw[layer], "u4": u[layer], "v4": v[layer]}

@@ -395,3 +395,34 @@ def test_engine_scan_unroll_parity(checkpoint_dir):
         outs.append(np.asarray(eng.generate(prompt, 24, temperature=0.0,
                                             key=jax.random.PRNGKey(3))))
     np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_chunked_prefill_matches_single_call():
+    """generate() auto-chunks long prompts (engine.PREFILL_CHUNK); the
+    chunked cache fill must produce identical greedy tokens."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fastmax_tpu.models.config import Config
+    from fastmax_tpu.models import gpt
+    from fastmax_tpu.inference.engine import InferenceEngine
+
+    cfg = Config(
+        name="chunk-t", block_size=96, vocab_size=96, padded_vocab_size=96,
+        n_layer=2, n_head=4, n_embd=64, n_query_groups=2, rotary_percentage=1.0,
+        parallel_residual=False, bias=False, _norm_class="RMSNorm",
+        _mlp_class="LLaMAMLP", intermediate_size=128,
+    )
+    params = gpt.init_params(cfg, jax.random.PRNGKey(0))
+    prompt = jnp.asarray(np.random.default_rng(3).integers(1, 96, (40,)), jnp.int32)
+
+    ref_eng = InferenceEngine(cfg, params, max_seq_length=96, batch_size=1)
+    ref = np.asarray(ref_eng.generate(prompt, 56, temperature=0.0,
+                                      key=jax.random.PRNGKey(1)))
+
+    ch_eng = InferenceEngine(cfg, params, max_seq_length=96, batch_size=1)
+    ch_eng.PREFILL_CHUNK = 16  # force chunking (40-token prompt -> 16+16+8)
+    got = np.asarray(ch_eng.generate(prompt, 56, temperature=0.0,
+                                     key=jax.random.PRNGKey(1)))
+    np.testing.assert_array_equal(got, ref)

@@ -77,11 +77,18 @@ def run_ttft_row(row: str) -> None:
             pos += chunk.shape[0]
         np.asarray(logits[0, :8])
 
+    def prefill_engine(tokens):
+        # what generate() actually does (auto-chunked at PREFILL_CHUNK)
+        cache = engine.new_cache()
+        logits, cache = engine._chunked_prefill(tokens[None], cache)
+        np.asarray(logits[0, :8])
+
     results = []
     for plen in PROMPT_LENS:
         tokens = jnp.asarray(rng.integers(1, 32000, (plen,)), jnp.int32)
         rec = {"prompt_len": plen}
-        for arm, fn in (("full", prefill_full), ("chunked", prefill_chunked)):
+        for arm, fn in (("full", prefill_full), ("chunked", prefill_chunked),
+                        ("engine", prefill_engine)):
             try:
                 fn(tokens)  # compile + warm (each distinct length compiles)
                 best = float("inf")
