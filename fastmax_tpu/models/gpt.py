@@ -459,19 +459,23 @@ def _finish_attn(p, y, x, cfg, q, b, t, hs, layer=None):
 
 
 def apply_block(bp, x, cfg, cos, sin, mask, kv_cache, input_pos, attn_fn=None,
-                mlp_fn=None, layer=None):
+                mlp_fn=None, layer=None, stacked_weights=None):
     """One transformer block. ``attn_fn(attn_params, n1) -> (h, new_cache)``
     overrides the attention computation (used by the sequence-parallel mode
     to substitute ring attention while sharing the residual/MLP wiring);
     ``mlp_fn(mlp_params, n2) -> y`` likewise overrides the MLP (used by the
     composed TP mode to psum the rowwise projection's partial output).
 
-    ``layer`` selects STACKED mode: ``bp`` holds the FULL (n_layer,)-stacked
-    block weights and ``kv_cache`` (if any) the full stacked cache; this
-    call computes block ``layer``. The cached forward uses it so that
-    neither the weights nor the cache are sliced per scan iteration
-    (both slicings materialize copies — see forward())."""
-    stacked = layer is not None
+    ``layer`` selects STACKED-cache mode (kv_cache holds the full stacked
+    cache and this call updates/reads layer ``layer`` in place);
+    ``stacked_weights`` (default: layer is not None) additionally means
+    ``bp`` holds the FULL (n_layer,)-stacked weights. The cached forward
+    separates the two: the cache always rides the scan carry, while
+    weights stay stacked only for the Pallas-served formats (q4r1/q4b),
+    whose kernels read the stack in place — XLA consumes its own sliced
+    operands fine, and for dense bf16 models the slice-everything mode
+    measured SLOWER (3B: 75.9 vs 90+ tok/s, decode_table r05)."""
+    stacked = stacked_weights if stacked_weights is not None else (layer is not None)
 
     def norm_p(np_):
         if not stacked:
@@ -488,7 +492,7 @@ def apply_block(bp, x, cfg, cos, sin, mask, kv_cache, input_pos, attn_fn=None,
         h, new_cache = apply_attn(bp["attn"], n1, cfg, cos, sin, mask, kv_cache,
                                   input_pos, layer=layer, stacked_weights=stacked)
     mlp = mlp_fn if mlp_fn is not None else (
-        lambda mp, n2: apply_mlp(mp, n2, cfg, layer))
+        lambda mp, n2: apply_mlp(mp, n2, cfg, layer if stacked else None))
     if cfg.parallel_residual:
         n2 = n1 if cfg.shared_attention_norm else apply_norm(
             x, norm_p(bp["norm_2"]), cfg.norm_class_name, cfg.norm_eps,
@@ -626,18 +630,50 @@ def forward(
         # (the single largest decode overhead found in r05).
 
         blocks = params["blocks"]
-
-        def body(carry, l):
-            y, cache = carry
-            y, cache = apply_block(blocks, y, cfg, cos, sin, mask, cache,
-                                   input_pos, layer=l)
-            return (y, cache), None
-
-        (x, new_cache), _ = jax.lax.scan(
-            body, (x, kv_cache),
-            jnp.arange(cfg.n_layer, dtype=jnp.int32),
-            unroll=unroll,
+        # stacked-weights mode only for the Pallas-served quantized
+        # formats; everything else scans per-layer weight slices as xs
+        # (see apply_block docstring)
+        pallas_stacked = any(
+            str(path[-1]).find("q4r1") >= 0 or str(path[-1]).find("q4b") >= 0
+            or str(path[-1]).find("q8") >= 0
+            for path, _ in jax.tree_util.tree_flatten_with_path(blocks)[0]
         )
+        # dense models route by size (measured, decode_table r05 A/B):
+        # phi-1.5 (2048-dim) serves 206 tok/s stacked vs 164 xs, while
+        # StableLM-3B (4096-dim) serves 90.7 xs vs 75.9 stacked — the
+        # crossover sits between those widths on this chip
+        if not pallas_stacked and cfg.n_embd <= 2560:
+            pallas_stacked = True
+
+        if pallas_stacked:
+            def body(carry, l):
+                y, cache = carry
+                y, cache = apply_block(blocks, y, cfg, cos, sin, mask, cache,
+                                       input_pos, layer=l)
+                return (y, cache), None
+
+            (x, new_cache), _ = jax.lax.scan(
+                body, (x, kv_cache),
+                jnp.arange(cfg.n_layer, dtype=jnp.int32),
+                unroll=unroll,
+            )
+        else:
+            # pure-dense (and exact-4-bit) models: the original xs/ys scan
+            # over (weights, cache) slices. Measured on the 3B bf16 row:
+            # this shape prefers XLA's own xs handling end-to-end (90 tok/s)
+            # over both stacked-weights slicing (75.9) and the hybrid
+            # xs-weights + carry-cache (41.1) — XLA fuses its sliced dense
+            # operands and pipelines the ys writes, while the hybrid
+            # combination degraded scheduling (decode_table r05 A/B).
+            def body(carry, scanned):
+                bp, cache_l = scanned
+                y, cache_l = apply_block(bp, carry, cfg, cos, sin, mask,
+                                         cache_l, input_pos)
+                return y, cache_l
+
+            x, new_cache = jax.lax.scan(
+                body, x, (blocks, kv_cache), unroll=unroll
+            )
     else:
 
         def body(carry, bp):
