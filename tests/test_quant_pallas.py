@@ -132,3 +132,39 @@ def test_requantize_int4_model_and_decode_parity():
     # int4-rerep logits track the NF4 logits loosely (tiny random model)
     corr = np.corrcoef(np.asarray(logits_q).ravel(), np.asarray(logits_r).ravel())[0, 1]
     assert corr > 0.95
+
+
+def test_int4_rank1_stacked_matches_per_layer():
+    """The stacked rank-1 kernel must reproduce the per-layer kernel for
+    every layer index (scalar-prefetched index maps read the stack)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fastmax_tpu.ops.quant_pallas import (
+        int4_matmul_rank1,
+        int4_matmul_rank1_stacked,
+        pack_int4_tiled,
+    )
+
+    rng = np.random.default_rng(0)
+    k, n, L = 512, 1024, 3
+    layers = []
+    for l in range(L):
+        codes = rng.integers(-8, 8, size=(k, n), dtype=np.int64)
+        layers.append({
+            "q4r1": pack_int4_tiled(codes),
+            "u4": rng.uniform(0.5, 2.0, (k,)).astype(np.float32),
+            "v4": rng.uniform(0.5, 2.0, (n,)).astype(np.float32),
+        })
+    stacked = {key: jnp.asarray(np.stack([p[key] for p in layers]))
+               for key in ("q4r1", "u4", "v4")}
+    x = jnp.asarray(rng.standard_normal((2, k)), jnp.float32)
+    for l in range(L):
+        per = {key: jnp.asarray(layers[l][key]) for key in layers[l]}
+        ref = np.asarray(int4_matmul_rank1(x, per, interpret=True), np.float32)
+        got = np.asarray(
+            int4_matmul_rank1_stacked(x, stacked, jnp.int32(l), interpret=True),
+            np.float32)
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5,
+                                   err_msg=f"layer {l}")
