@@ -331,24 +331,37 @@ def apply_attn(
                     lead + (zero, input_pos),
                 )
         else:
-            # per-slot positions (continuous batching): scatter row b's T
-            # tokens at its own positions input_pos[b]..input_pos[b]+T-1
-            # (advanced indices split by the ":" slice put (B, T) first, so
-            # updates are the (B, T, G, hs) transpose of the new k/v)
-            rows = jnp.arange(b)[:, None]  # (B, 1)
-            pos = input_pos[:, None] + jnp.arange(t)  # (B, T)
-            klead = (layer, rows) if stacked else (rows,)
-            k_cache = k_cache.at[klead + (slice(None), pos, slice(None))].set(
-                k_new.transpose(0, 2, 1, 3).astype(k_cache.dtype)
-            )
-            v_cache = v_cache.at[klead + (slice(None), pos, slice(None))].set(
-                v_new.transpose(0, 2, 1, 3).astype(v_cache.dtype)
-            )
+            # per-slot positions (continuous batching): write row b's T
+            # tokens at its own positions input_pos[b]..input_pos[b]+T-1.
+            # One dynamic_update_slice per slot, NOT one advanced-index
+            # scatter over all slots: XLA cannot alias a scatter into the
+            # scanned cache carry when the operand is int8 (sub-sublane
+            # rows on the (32, 128) int8 tile), so the quantized-cache
+            # scatter re-materialized the full (L, B, G, S, D) codes every
+            # layer — measured 596 ms vs 89 ms per 8-step decode quantum
+            # at 7B B=8 S=256 on v5e. B small DUSes alias in place for
+            # every dtype (same-shape measurement: 92 ms).
+            zero = jnp.zeros((), input_pos.dtype)
+
+            def write_rows(cache, new):
+                # new: (B, G, T[, hs]); cache: ([L,] B, G, S[, hs])
+                for bi in range(b):
+                    upd = new[bi][None]  # (1, G, T[, hs])
+                    if stacked:
+                        upd = upd[None]
+                    start = (layer, bi, zero, input_pos[bi]) if stacked \
+                        else (bi, zero, input_pos[bi])
+                    if new.ndim == 4:  # codes carry a trailing head dim
+                        start = start + (zero,)
+                    cache = jax.lax.dynamic_update_slice(
+                        cache, upd.astype(cache.dtype), start)
+                return cache
+
+            k_cache = write_rows(k_cache, k_new)
+            v_cache = write_rows(v_cache, v_new)
             if quantized_cache:
-                ks = kv_cache["k_scale"].at[klead + (slice(None), pos)].set(
-                    k_new_scale.transpose(0, 2, 1))
-                vs = kv_cache["v_scale"].at[klead + (slice(None), pos)].set(
-                    v_new_scale.transpose(0, 2, 1))
+                ks = write_rows(kv_cache["k_scale"], k_new_scale)
+                vs = write_rows(kv_cache["v_scale"], v_new_scale)
 
         def this_layer(a):
             return jax.lax.dynamic_index_in_dim(a, layer, 0, keepdims=False) \
