@@ -79,6 +79,9 @@ def main() -> None:
             "n_slots": n_slots,
             "decode_quantum": args.quantum,
             "cache_dtype": args.cache,
+            "prompt_len": args.prompt_len,
+            "max_new_tokens": args.max_new_tokens,
+            "max_seq": seq_need,
             "compile_s": round(compile_s, 1),
             **res,
         }
