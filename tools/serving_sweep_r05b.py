@@ -32,6 +32,8 @@ def main() -> None:
     ap.add_argument("--quantum", type=int, default=8)
     ap.add_argument("--requests_per_slot", type=int, default=3)
     ap.add_argument("--cache", choices=["bf16", "int8"], default="bf16")
+    ap.add_argument("--arrival_rate", type=float, default=0.0,
+                    help="requests/sec Poisson arrivals; 0 = closed loop")
     args = ap.parse_args()
 
     from fastmax_tpu.utils.profiling import enable_compile_cache
@@ -73,7 +75,8 @@ def main() -> None:
         while not w.done:
             batcher.step()
         compile_s = time.perf_counter() - t0
-        res = run_load(batcher, prompts, args.max_new_tokens)
+        res = run_load(batcher, prompts, args.max_new_tokens,
+                       arrival_rate=args.arrival_rate)
         res = {
             "metric": "serving_aggregate_decode_7b_int4",
             "n_slots": n_slots,
@@ -82,6 +85,7 @@ def main() -> None:
             "prompt_len": args.prompt_len,
             "max_new_tokens": args.max_new_tokens,
             "max_seq": seq_need,
+            "arrival_rate": args.arrival_rate,
             "compile_s": round(compile_s, 1),
             **res,
         }
