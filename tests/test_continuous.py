@@ -259,6 +259,44 @@ def test_multi_token_vector_pos_forward_matches_scalar(model):
     np.testing.assert_allclose(np.asarray(lg2[1]), outs[1], atol=1e-4, rtol=1e-4)
 
 
+def test_vector_pos_cache_write_matches_scalar_int8(model):
+    """The per-slot dynamic_update_slice cache write (replaced the
+    advanced-index scatter, whose int8 form XLA re-materialized every
+    layer inside the decode scan — bench_results/serving_r05b.jsonl)
+    must land the EXACT same codes/scales as the scalar-position path,
+    for both the quantized and the dense cache."""
+    cfg, params = model
+    rng = np.random.default_rng(1)
+    toks = jnp.asarray(rng.integers(1, 96, (2, 3)), jnp.int32)
+    for dtype in (jnp.int8, jnp.float32):
+        base = gpt.init_kv_cache(cfg, 2, 64, dtype)
+        pre = jnp.asarray(rng.integers(1, 96, (2, 6)), jnp.int32)
+        _, base = gpt.forward(params, cfg, pre, input_pos=0, kv_cache=base)
+        # scalar path per row at its own position
+        want = {}
+        for b, pos in ((0, 6), (1, 4)):
+            c1 = jax.tree.map(lambda x: x[:, b : b + 1], base)
+            _, c1 = gpt.forward(params, cfg, toks[b : b + 1], input_pos=pos,
+                                kv_cache=c1)
+            want[b] = c1
+        _, got = gpt.forward(params, cfg, toks, input_pos=jnp.asarray([6, 4]),
+                             kv_cache=base)
+        # not bitwise: the B=2 and B=1 executables may round the qkv
+        # matmul differently (~1 ulp). Placement bugs (wrong slot/position)
+        # would show up as order-1 mismatches, far above these bounds.
+        for b in (0, 1):
+            for key in got:
+                g = np.asarray(got[key][:, b], np.float32)
+                w = np.asarray(want[b][key][:, 0], np.float32)
+                if dtype == jnp.int8 and key in ("k", "v"):
+                    assert np.abs(g - w).max() <= 1, (
+                        f"int8 codes leaf {key} row {b}")
+                else:
+                    np.testing.assert_allclose(
+                        g, w, atol=2e-5, rtol=2e-5,
+                        err_msg=f"{dtype} cache leaf {key} row {b}")
+
+
 # ------------------------------------------------- prefix caching
 
 
