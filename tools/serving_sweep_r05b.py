@@ -34,6 +34,7 @@ def main() -> None:
     ap.add_argument("--cache", choices=["bf16", "int8"], default="bf16")
     ap.add_argument("--arrival_rate", type=float, default=0.0,
                     help="requests/sec Poisson arrivals; 0 = closed loop")
+    ap.add_argument("--model", default="Llama-2-7b-hf")
     args = ap.parse_args()
 
     from fastmax_tpu.utils.profiling import enable_compile_cache
@@ -47,7 +48,7 @@ def main() -> None:
     from fastmax_tpu.inference.continuous import ContinuousBatcher
     from fastmax_tpu.models.config import Config
 
-    cfg = Config.from_name("Llama-2-7b-hf")
+    cfg = Config.from_name(args.model)
     # 128-aligned: the Pallas int8 decode-attention eligibility gate
     # (ops/decode_attention.int8_decode_eligible) requires S % 128 == 0
     seq_need = args.prompt_len + args.max_new_tokens + 16
@@ -79,6 +80,7 @@ def main() -> None:
                        arrival_rate=args.arrival_rate)
         res = {
             "metric": "serving_aggregate_decode_7b_int4",
+            "model": args.model,
             "n_slots": n_slots,
             "decode_quantum": args.quantum,
             "cache_dtype": args.cache,
