@@ -233,6 +233,62 @@ class ContinuousBatcher:
         # the whole cache, and donating it would delete the live cache
         self._prefill = jax.jit(prefill)
 
+        # batched admission prefill: P queued requests sharing a bucket run
+        # as ONE (P, Tb) forward into FRESH zero cache rows (valid because a
+        # slot's positions >= its prompt length are never attended before
+        # decode overwrites them — the causal frontier is per-row). The
+        # serialized per-request admission was ~40% of closed-loop serving
+        # wall at 32 slots (bench_results/serving_r05b.jsonl q48 row:
+        # ~45 ms x 96 admissions of a 10.0 s run); prefill compute is
+        # MXU-bound at m >= 128, so batching P rows costs ~P/2.5x less wall
+        # than P separate calls (shared weight stream + one dispatch).
+        def prefill_batch(params, tokens, n_valid, key, temperature, top_k,
+                          p_rows):
+            row_cache = {
+                k: jnp.zeros(v.shape[:1] + (p_rows,) + v.shape[2:], v.dtype)
+                for k, v in self.cache.items()
+            }
+            logits, row_cache = gpt.forward(
+                params, cfg, tokens, input_pos=0, kv_cache=row_cache,
+                rope_cache=self.rope, logits_at=n_valid - 1,
+            )
+            logits = logits[:, 0].astype(jnp.float32)
+            # first token sampled ON DEVICE (same batched sampler as the
+            # decode step): fetching (P, V) logits and re-uploading rows
+            # for host-side sampling cost ~6 tunnel round-trips per wave —
+            # measured 857 vs 891 tok/s same-window against sequential
+            # admission before this; only (P,) ints cross the wire now
+            greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+            def hot_sample():
+                v = logits.shape[-1]
+                asc = jnp.sort(logits, axis=-1)
+                idx = jnp.clip(v - top_k, 0, v - 1)
+                kth = jnp.take_along_axis(asc, idx[:, None], axis=1)[:, 0]
+                gumbel = -jnp.log(
+                    -jnp.log(jax.random.uniform(key, logits.shape) + 1e-20)
+                    + 1e-20
+                )
+                sampled = jnp.argmax(
+                    jnp.where(logits < kth[:, None], -jnp.inf, logits)
+                    / jnp.maximum(temperature[:, None], 1e-6) + gumbel,
+                    axis=-1,
+                ).astype(jnp.int32)
+                return jnp.where(temperature > 0, sampled, greedy)
+
+            first = jax.lax.cond(jnp.any(temperature > 0), hot_sample,
+                                 lambda: greedy)
+            return first, constrain(row_cache)
+
+        self._prefill_batch = jax.jit(prefill_batch, static_argnames=("p_rows",))
+        # P buckets bound the executable count; remainders admit one-by-one.
+        # Capped at 16: a P=32 x Tb=128 wave OOMs the 16 GB chip at 7B (the
+        # prefill's per-layer dequant + activation transients scale with
+        # P*Tb rows; 16 already amortizes the weight stream and dispatch)
+        self.prefill_batch_buckets = tuple(
+            p for p in (16, 8, 4) if p <= n_slots)
+        self.batched_admissions = 0  # telemetry: requests admitted in waves
+
         def prefill_linear(params, tokens, n_valid, state_row):
             # bucketed prompt: rows >= n_valid are masked out of the running
             # sums inside the forward, so one compile serves all lengths in
@@ -383,6 +439,7 @@ class ContinuousBatcher:
         return len(self.queue) + sum(s is not None for s in self.slots)
 
     def _admit(self) -> None:
+        self._admit_batched()
         for slot in range(self.n_slots):
             if self.slots[slot] is None and self.queue:
                 req = self.queue.pop(0)
@@ -453,6 +510,83 @@ class ContinuousBatcher:
                 self.positions[slot] = t
                 self.slots[slot] = req
                 self._maybe_finish(slot, first)
+
+    def _admit_batched(self) -> None:
+        """Admit waves of queued requests through the (P, Tb) batched
+        prefill. Only the plain quadratic path qualifies (linear-state and
+        chunked admissions have their own machinery; prefix-cache hits need
+        a per-request suffix prefill) and only full P-bucket groups sharing
+        a padded bucket length run batched — the per-request loop in
+        _admit handles every remainder identically, so this is purely a
+        wall-clock fast path. Numerics: the same forward at batch P
+        instead of 1. On TPU a bf16 matmul may round differently per
+        batch size (~1 ulp), so a greedy near-tie can resolve differently
+        than a sequential admission would — cache rows verified
+        bf16-identical on chip (max |diff| < 1e-2, the quantization step
+        of bf16 at these magnitudes); the batched decode step carries the
+        exact same property. CPU (f32 accumulate) is token-exact — the
+        parity tests assert it."""
+        if self._linear_alg or self.prefill_chunk or not self.prefill_batch_buckets:
+            return
+        while True:
+            free = [s for s in range(self.n_slots) if self.slots[s] is None]
+            if len(free) < self.prefill_batch_buckets[-1] or not self.queue:
+                return
+            # head-of-queue group sharing the first request's bucket (FIFO
+            # order is preserved: we never admit request j past request i<j)
+            def bucket_of(req):
+                t = len(req.prompt)
+                return min(
+                    self.max_seq_length,
+                    ((t + self.prefill_bucket - 1) // self.prefill_bucket)
+                    * self.prefill_bucket,
+                )
+
+            b0 = bucket_of(self.queue[0])
+            group = []
+            for req in self.queue:
+                if len(group) >= min(len(free), self.prefill_batch_buckets[0]):
+                    break
+                if bucket_of(req) != b0:
+                    break
+                if self.prefix_cache_size and \
+                        self._prefix_lookup(req.prompt) is not None:
+                    break
+                group.append(req)
+            p = next((p for p in self.prefill_batch_buckets
+                      if p <= len(group)), None)
+            if p is None:
+                return
+            group, slots = group[:p], free[:p]
+            tokens = np.zeros((p, b0), np.int32)
+            n_valid = np.zeros(p, np.int32)
+            temps = np.zeros(p, np.float32)
+            topk = np.full(p, self.cfg.padded_vocab_size, np.int32)
+            for i, req in enumerate(group):
+                t = min(len(req.prompt), b0)
+                tokens[i, :t] = req.prompt[:t]
+                n_valid[i] = t
+                temps[i] = req.temperature
+                if req.top_k:
+                    topk[i] = req.top_k
+            self._key, sub = jax.random.split(self._key)
+            first, rows = self._prefill_batch(
+                self.params, jnp.asarray(tokens), jnp.asarray(n_valid), sub,
+                jnp.asarray(temps), jnp.asarray(topk), p)
+            self.batched_admissions += p
+            idx = np.asarray(slots)
+            for k in self.cache:
+                self.cache[k] = self.cache[k].at[:, idx].set(rows[k])
+            first = np.asarray(first)
+            for i, (req, slot) in enumerate(zip(group, slots)):
+                self.queue.remove(req)
+                if self.prefix_cache_size:
+                    self._prefix_insert(
+                        req.prompt, {k: rows[k][:, i : i + 1] for k in rows})
+                req.generated.append(int(first[i]))
+                self.positions[slot] = n_valid[i]
+                self.slots[slot] = req
+                self._maybe_finish(slot, int(first[i]))
 
     def _prefill_tick(self) -> None:
         """Advance ONE mid-prefill slot by one chunk (round-robin), bounding

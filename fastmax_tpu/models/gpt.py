@@ -589,6 +589,7 @@ def forward(
     max_seq_length: Optional[int] = None,
     remat: bool = False,
     unroll: int = 1,
+    logits_at: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Optional[dict]]:
     """Run the model.
 
@@ -597,7 +598,12 @@ def forward(
       ``kv_cache``. None means full-sequence training/eval forward (no cache).
     unroll: layer-scan unroll factor (per-op-overhead lever; numerics
       unchanged).
-    Returns (logits (B, T, padded_vocab), updated kv_cache or None).
+    logits_at: optional (B,) per-row index into T — project ONLY that
+      hidden state through lm_head and return (B, 1, padded_vocab). A
+      (P, Tb) batched prefill needs one next-token distribution per row;
+      full logits there are (P, Tb, V) = 4.2 GB at P=32/Tb=128/V=32k f32,
+      an OOM on the 16 GB chip.
+    Returns (logits (B, T or 1, padded_vocab), updated kv_cache or None).
     """
     b, t = idx.shape
     if rope_cache is None:
@@ -698,6 +704,9 @@ def forward(
         new_cache = None
 
     x = apply_norm(x, params["ln_f"], cfg.norm_class_name, cfg.norm_eps, cfg.add_unit_offset)
+    if logits_at is not None:
+        x = jnp.take_along_axis(
+            x, logits_at.astype(jnp.int32)[:, None, None], axis=1)
     logits = linear(params["lm_head"], x)
     return logits, new_cache
 

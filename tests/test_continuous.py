@@ -259,6 +259,49 @@ def test_multi_token_vector_pos_forward_matches_scalar(model):
     np.testing.assert_allclose(np.asarray(lg2[1]), outs[1], atol=1e-4, rtol=1e-4)
 
 
+def test_batched_admission_prefill_greedy_parity(model):
+    """A 4-request wave admitted through the (P, Tb) batched prefill must
+    emit exactly the sequential-admission greedy tokens, and the batched
+    path must actually have run (telemetry counter)."""
+    cfg, params = model
+    rng = np.random.default_rng(3)
+    prompts = [rng.integers(1, 96, (n,)).astype(np.int32) for n in (8, 11, 5, 9)]
+    refs = [reference_greedy(cfg, params, p, 12) for p in prompts]
+    b = ContinuousBatcher(cfg, params, n_slots=4, max_seq_length=128)
+    assert b.prefill_batch_buckets == (4,)
+    reqs = [b.submit(p, 12, temperature=0.0, return_request=True) for p in prompts]
+    while not all(r.done for r in reqs):
+        b.step()
+    assert b.batched_admissions == 4, "wave did not take the batched path"
+    for r, ref, p in zip(reqs, refs, prompts):
+        np.testing.assert_array_equal(np.asarray(r.generated), ref)
+
+
+def test_batched_admission_respects_fifo_and_mixed_buckets(model):
+    """A queue mixing bucket lengths must still admit in FIFO order and
+    complete every request (long prompt breaks the head group)."""
+    cfg, params = model
+    rng = np.random.default_rng(4)
+    prompts = [rng.integers(1, 96, (n,)).astype(np.int32)
+               for n in (8, 70, 5, 9, 7)]  # 70 -> next bucket at
+    b = ContinuousBatcher(cfg, params, n_slots=4, max_seq_length=128,
+                          prefill_bucket=64)
+    reqs = [b.submit(p, 8, temperature=0.0, return_request=True) for p in prompts]
+    order = []
+    while not all(r.done for r in reqs):
+        b.step()
+        for r in reqs:
+            if r.generated and r.request_id not in order:
+                order.append(r.request_id)
+    assert all(len(r.generated) == 8 for r in reqs)
+    # FIFO: the 70-token prompt (request 1) is second in the queue, so it
+    # must be among the first wave of admissions (4 free slots at start)
+    assert 1 in order[:4]
+    for r, p in zip(reqs, prompts):
+        np.testing.assert_array_equal(
+            np.asarray(r.generated), reference_greedy(cfg, params, p, 8))
+
+
 def test_vector_pos_cache_write_matches_scalar_int8(model):
     """The per-slot dynamic_update_slice cache write (replaced the
     advanced-index scatter, whose int8 form XLA re-materialized every
