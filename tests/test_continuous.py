@@ -277,6 +277,49 @@ def test_batched_admission_prefill_greedy_parity(model):
         np.testing.assert_array_equal(np.asarray(r.generated), ref)
 
 
+def test_batched_admission_sampled_temperature(model):
+    """The on-device first-token sampler in the batched prefill: sampled
+    requests complete with in-vocab tokens, and a greedy request in the
+    same wave still gets its argmax token."""
+    cfg, params = model
+    rng = np.random.default_rng(5)
+    prompts = [rng.integers(1, 96, (7,)).astype(np.int32) for _ in range(4)]
+    ref = reference_greedy(cfg, params, prompts[0], 6)
+    b = ContinuousBatcher(cfg, params, n_slots=4, max_seq_length=128)
+    temps = [0.0, 0.9, 0.7, 0.8]
+    reqs = [b.submit(p, 6, temperature=tp, top_k=20, return_request=True)
+            for p, tp in zip(prompts, temps)]
+    while not all(r.done for r in reqs):
+        b.step()
+    assert b.batched_admissions == 4
+    for r in reqs:
+        assert len(r.generated) == 6
+        assert all(0 <= t < 96 for t in r.generated)
+    # greedy row of a mixed-temperature wave must match the engine
+    np.testing.assert_array_equal(np.asarray(reqs[0].generated), ref)
+
+
+def test_batched_admission_prefix_hits_fall_back(model):
+    """Prefix-cache hits bypass the batched wave (they need a per-request
+    suffix prefill) but still produce exact tokens; misses still batch."""
+    cfg, params = model
+    rng = np.random.default_rng(6)
+    shared = rng.integers(1, 96, (16,)).astype(np.int32)
+    b = ContinuousBatcher(cfg, params, n_slots=4, max_seq_length=128,
+                          prefix_cache_size=2)
+    b.register_prefix(shared)
+    prompts = [np.concatenate([shared, rng.integers(1, 96, (4,)).astype(np.int32)])
+               for _ in range(2)] + \
+              [rng.integers(1, 96, (9,)).astype(np.int32) for _ in range(2)]
+    refs = [reference_greedy(cfg, params, p, 8) for p in prompts]
+    reqs = [b.submit(p, 8, temperature=0.0, return_request=True) for p in prompts]
+    while not all(r.done for r in reqs):
+        b.step()
+    assert b.prefix_cache_hits > 0  # the hits really reused rows
+    for r, ref in zip(reqs, refs):
+        np.testing.assert_array_equal(np.asarray(r.generated), ref)
+
+
 def test_batched_admission_respects_fifo_and_mixed_buckets(model):
     """A queue mixing bucket lengths must still admit in FIFO order and
     complete every request (long prompt breaks the head group)."""
