@@ -38,7 +38,8 @@ def main() -> None:
     ap.add_argument("--prompt_len", type=int, default=64)
     ap.add_argument("--max_new_tokens", type=int, default=96)
     ap.add_argument("--arms", nargs="+", default=["32:bf16", "48:bf16", "64:int8"],
-                    help="slots:cache_dtype per arm; first arm is the baseline")
+                    help="slots:cache_dtype[:quantum] per arm; first arm is "
+                         "the baseline; quantum defaults to --quantum")
     ap.add_argument("--quantum", type=int, default=24)
     ap.add_argument("--rounds", type=int, default=2)
     ap.add_argument("--requests_per_slot", type=int, default=3)
@@ -69,14 +70,15 @@ def main() -> None:
     rng = np.random.default_rng(0)
     arms = []
     for spec in args.arms:
-        slots_s, cache = spec.split(":")
-        arms.append((int(slots_s), cache))
+        parts = spec.split(":")
+        arms.append((int(parts[0]), parts[1],
+                     int(parts[2]) if len(parts) > 2 else args.quantum))
 
     by_arm: dict = {spec: [] for spec in args.arms}
     rounds: list = []
     for rnd in range(args.rounds):
         this_round = {}
-        for spec, (n_slots, cache) in zip(args.arms, arms):
+        for spec, (n_slots, cache, quantum) in zip(args.arms, arms):
             n_requests = args.requests_per_slot * n_slots
             prompts = [rng.integers(1, 32000, size=(args.prompt_len,)).astype(np.int32)
                        for _ in range(n_requests)]
@@ -86,7 +88,7 @@ def main() -> None:
                     cfg, params, n_slots=n_slots, max_seq_length=seq_need,
                     weights_mode="quantized",
                     cache_dtype=jnp.int8 if cache == "int8" else None,
-                    decode_quantum=args.quantum,
+                    decode_quantum=quantum,
                 )
                 w = batcher.submit(prompts[0], 4, temperature=0.0,
                                    return_request=True)
@@ -106,7 +108,7 @@ def main() -> None:
             res = {
                 "metric": "serving_ladder_r05c", "model": args.model,
                 "arm": spec, "round": rnd, "n_slots": n_slots,
-                "cache_dtype": cache, "decode_quantum": args.quantum,
+                "cache_dtype": cache, "decode_quantum": quantum,
                 "prompt_len": args.prompt_len,
                 "max_new_tokens": args.max_new_tokens, "max_seq": seq_need,
                 "compile_s": round(compile_s, 1), **res,
