@@ -97,6 +97,7 @@ class ContinuousBatcher:
         prefix_cache_size: int = 0,
         cache_dtype=None,
         decode_quantum: int = 1,
+        adaptive_quantum: bool = False,
         prefill_chunk: int = 0,
         mesh=None,
     ):
@@ -109,6 +110,21 @@ class ContinuousBatcher:
         self.prefill_bucket = prefill_bucket
         self.speculative_k = int(speculative_k)
         self.decode_quantum = int(decode_quantum)
+        # The quantum is a throughput/latency trade (docs/perf.md): long
+        # quanta amortize the host sync (q48 = 1261 tok/s closed-loop at 7B)
+        # but admission only happens at quantum boundaries, so under open-loop
+        # arrivals long quanta starve the queue (q48 = 230 tok/s / TTFT p95
+        # 23 s at 10 req/s, vs q24's 748 / 1.4 s — serving_ladder_r05c.jsonl).
+        # adaptive_quantum resolves the trade with one occupancy test: run a
+        # SHORT quantum whenever a slot is free after admission (the next
+        # admission boundary arrives quickly for whoever shows up), the full
+        # quantum when every slot is busy (nothing could be admitted anyway —
+        # amortize). Closed-loop batches run at the long-q rate; trickle
+        # arrivals see short-q admission latency. Costs one extra executable.
+        self.adaptive_quantum = bool(adaptive_quantum)
+        if self.adaptive_quantum and self.decode_quantum <= 1:
+            raise ValueError("adaptive_quantum requires decode_quantum > 1")
+        self._q_small = min(8, self.decode_quantum)
         if self.speculative_k and self.decode_quantum > 1:
             raise ValueError(
                 "decode_quantum and speculative_k are mutually exclusive "
@@ -341,25 +357,31 @@ class ContinuousBatcher:
 
         self._step = jax.jit(step, donate_argnums=(1,))
 
-        def step_many(params, cache, tokens, positions, key, temperature, top_k):
-            """Q decode steps in one dispatch (see decode_quantum above).
-            Returns (toks (Q, B), cache)."""
+        def make_step_many(q):
+            def step_many(params, cache, tokens, positions, key, temperature, top_k):
+                """q decode steps in one dispatch (see decode_quantum above).
+                Returns (toks (q, B), cache)."""
 
-            def body(carry, _):
-                cache, tokens, positions, key = carry
-                key, sub = jax.random.split(key)
-                nxt, cache = step(params, cache, tokens, positions, None, sub,
-                                  temperature, top_k)
-                return (cache, nxt, positions + 1, key), nxt
+                def body(carry, _):
+                    cache, tokens, positions, key = carry
+                    key, sub = jax.random.split(key)
+                    nxt, cache = step(params, cache, tokens, positions, None, sub,
+                                      temperature, top_k)
+                    return (cache, nxt, positions + 1, key), nxt
 
-            (cache, _, _, _), toks = jax.lax.scan(
-                body, (cache, tokens, positions, key), None,
-                length=self.decode_quantum,
-            )
-            return toks, cache
+                (cache, _, _, _), toks = jax.lax.scan(
+                    body, (cache, tokens, positions, key), None, length=q,
+                )
+                return toks, cache
+
+            return jax.jit(step_many, donate_argnums=(1,))
 
         if self.decode_quantum > 1:
-            self._step_many = jax.jit(step_many, donate_argnums=(1,))
+            self._step_many = make_step_many(self.decode_quantum)
+            if self.adaptive_quantum and self._q_small < self.decode_quantum:
+                self._step_many_small = make_step_many(self._q_small)
+            else:
+                self._step_many_small = self._step_many
 
         def step_spec(params, cache, tokens, positions, key, temperature, top_k):
             """Batched speculative verify: tokens (B, k+1) = [current, k
@@ -792,7 +814,13 @@ class ContinuousBatcher:
                 if req.top_k:
                     topk[i] = req.top_k
         self._key, sub = jax.random.split(self._key)
-        toks, self.cache = self._step_many(
+        # adaptive: a free slot after admission means someone could be
+        # admitted at the next boundary — keep the boundary close. All
+        # slots busy: run the full quantum, nothing is waiting on us.
+        fn = (self._step_many_small
+              if self.adaptive_quantum and any(s is None for s in self.slots)
+              else self._step_many)
+        toks, self.cache = fn(
             self.params, self.cache, jnp.asarray(tokens),
             jnp.asarray(self.positions), sub, jnp.asarray(temps), jnp.asarray(topk),
         )

@@ -497,6 +497,41 @@ def test_decode_quantum_greedy_parity(model):
     assert results[r3] == ref[:6]
 
 
+def test_adaptive_quantum_greedy_parity(model):
+    """adaptive_quantum switches between the short and full quantum on slot
+    occupancy; tokens must be identical either way. Exercises both branches:
+    a lone request (free slot -> short quantum) and a full house (-> full
+    quantum), with a request joining mid-flight."""
+    cfg, params = model
+    p1 = np.arange(1, 11, dtype=np.int32)
+    p2 = np.arange(20, 31, dtype=np.int32)
+    solo = {i: reference_greedy(cfg, params, p, 13) for i, p in enumerate((p1, p2))}
+    batcher = ContinuousBatcher(cfg, params, n_slots=2, max_seq_length=128,
+                                decode_quantum=4, adaptive_quantum=True)
+    assert batcher._q_small == 4  # min(8, Q): same fn reused, still valid
+    r1 = batcher.submit(p1, 13, temperature=0.0)
+    batcher.step()  # one free slot -> short-quantum branch
+    r2 = batcher.submit(p2, 13, temperature=0.0)
+    results = batcher.run_to_completion()  # full house -> full-quantum branch
+    assert results[r1] == solo[0]
+    assert results[r2] == solo[1]
+
+    # distinct small/large executables (Q=12 -> q_small=8) on the same data
+    batcher = ContinuousBatcher(cfg, params, n_slots=2, max_seq_length=128,
+                                decode_quantum=12, adaptive_quantum=True)
+    assert batcher._q_small == 8
+    r1 = batcher.submit(p1, 13, temperature=0.0)
+    batcher.step()
+    r2 = batcher.submit(p2, 13, temperature=0.0)
+    results = batcher.run_to_completion()
+    assert results[r1] == solo[0]
+    assert results[r2] == solo[1]
+
+    with pytest.raises(ValueError):
+        ContinuousBatcher(cfg, params, n_slots=2, decode_quantum=1,
+                          adaptive_quantum=True)
+
+
 def test_decode_quantum_int8_kv_and_prefix(model):
     """Quantum decoding composes with int8 KV + prefix caching."""
     cfg, params = model
